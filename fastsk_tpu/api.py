@@ -1,0 +1,247 @@
+"""User-facing FastSK model class.
+
+Signature-compatible with the reference Python surface (bindings.cpp:12-51):
+``FastSK(g, m, t=-1, approx=False, delta=0.025, max_iters=-1,
+skip_variance=False)`` plus ``compute_kernel / compute_train /
+get_train_kernel / get_test_kernel / get_stdevs / save_kernel / fit /
+score``. Differences are deliberate improvements:
+
+- ``t`` (thread count) is accepted for compatibility but parallelism is
+  device-mesh driven (``KernelConfig.mesh``), not thread driven.
+- approx mode is deterministic given ``seed`` (the reference seeds its work
+  queue shuffle with time(0), fastsk_kernel.cpp:37).
+- labels can be passed to ``compute_kernel`` (or via ``set_labels``) so
+  ``fit``/``score`` actually work end-to-end — in the reference's released
+  Python bindings the label members are never populated.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .io.fasta import FastaUtility
+from .kernel.config import KernelConfig
+from .kernel.engine import ApproxResult, DenseGkmEngine, cosine_normalize
+from .kernel.sorted_engine import SortedGkmEngine
+from .ops.encode import EncodedSeqs, encode_sequences, validate_g
+
+
+class FastSK:
+    def __init__(
+        self,
+        g: int,
+        m: int,
+        t: int = -1,
+        approx: bool = False,
+        delta: float = 0.025,
+        max_iters: int = -1,
+        skip_variance: bool = False,
+        seed: int = 0,
+        config: Optional[KernelConfig] = None,
+    ):
+        self.g = int(g)
+        self.m = int(m)
+        self.k = self.g - self.m
+        self.t = t  # accepted for API parity; see module docstring
+        self.approx = bool(approx)
+        self.delta = float(delta)
+        self.max_iters = int(max_iters)
+        self.skip_variance = bool(skip_variance)
+        self.seed = int(seed)
+        self.config = config or KernelConfig()
+
+        self._counts: Optional[np.ndarray] = None  # int64 [N, N]
+        self._K: Optional[np.ndarray] = None  # float64 normalized [N, N]
+        self._stdevs: List[float] = []
+        self._iters: int = 0
+        self.n_str_train = 0
+        self.n_str_test = 0
+        self.train_labels: Optional[np.ndarray] = None
+        self.test_labels: Optional[np.ndarray] = None
+        self._model = None
+
+    # ------------------------------------------------------------ kernel
+
+    def _make_engine(self, enc: EncodedSeqs):
+        b_total = enc.dict_size ** self.k
+        if b_total <= self.config.b_max_dense:
+            return DenseGkmEngine(enc, self.g, self.m, self.config)
+        return SortedGkmEngine(enc, self.g, self.m, self.config)
+
+    def _compute(self, enc: EncodedSeqs) -> None:
+        validate_g(enc, self.g, self.m)
+        engine = self._make_engine(enc)
+        if self.approx:
+            res: ApproxResult = engine.approx(
+                conv_delta=self.delta,
+                max_iters=self.max_iters,
+                skip_variance=self.skip_variance,
+                seed=self.seed,
+            )
+            self._stdevs = res.stdevs
+            self._iters = res.iters
+            counts = res.counts
+        else:
+            counts = engine.exact()
+            self._iters = 0
+            self._stdevs = []
+        self._counts = counts
+        self._K = cosine_normalize(counts)
+        self.n_str_train = enc.n_train
+        self.n_str_test = enc.n_test
+
+    def compute_kernel(
+        self,
+        Xtrain: Sequence[Sequence[int]],
+        Xtest: Sequence[Sequence[int]],
+        Ytrain: Optional[Sequence[int]] = None,
+        Ytest: Optional[Sequence[int]] = None,
+    ) -> None:
+        """Compute the joint (train+test) normalized kernel matrix."""
+        enc = encode_sequences(Xtrain, Xtest)
+        self._compute(enc)
+        if Ytrain is not None:
+            self.train_labels = np.asarray(Ytrain)
+        if Ytest is not None:
+            self.test_labels = np.asarray(Ytest)
+
+    def compute_train(self, Xtrain: Sequence[Sequence[int]], Ytrain=None) -> None:
+        """Compute the train-only kernel matrix."""
+        enc = encode_sequences(Xtrain, None)
+        self._compute(enc)
+        if Ytrain is not None:
+            self.train_labels = np.asarray(Ytrain)
+
+    def set_labels(self, Ytrain: Sequence[int], Ytest: Optional[Sequence[int]] = None):
+        self.train_labels = np.asarray(Ytrain)
+        if Ytest is not None:
+            self.test_labels = np.asarray(Ytest)
+
+    # ------------------------------------------------------------ access
+
+    def _require_kernel(self) -> np.ndarray:
+        if self._K is None:
+            raise RuntimeError("call compute_kernel or compute_train first")
+        return self._K
+
+    @property
+    def kernel(self) -> np.ndarray:
+        """Full normalized (train+test) kernel matrix, float64 [N, N]."""
+        return self._require_kernel()
+
+    @property
+    def kernel_counts(self) -> np.ndarray:
+        """Unnormalized integer count kernel, int64 [N, N]."""
+        if self._counts is None:
+            raise RuntimeError("call compute_kernel or compute_train first")
+        return self._counts
+
+    def get_train_kernel(self) -> List[List[float]]:
+        """Train block of the normalized kernel (fastsk.cpp:190-200)."""
+        k = self._require_kernel()
+        ntr = self.n_str_train
+        return k[:ntr, :ntr].tolist()
+
+    def get_test_kernel(self) -> List[List[float]]:
+        """Test-vs-train block of the normalized kernel (fastsk.cpp:202-217)."""
+        k = self._require_kernel()
+        ntr = self.n_str_train
+        return k[ntr:, :ntr].tolist()
+
+    def get_stdevs(self) -> List[float]:
+        """Per-iteration convergence sd trace (approx mode)."""
+        return list(self._stdevs)
+
+    @property
+    def iterations(self) -> int:
+        """Number of Monte-Carlo iterations consumed (approx mode)."""
+        return self._iters
+
+    def save_kernel(self, kernel_file: str) -> None:
+        """Write the kernel in the reference text format (fastsk.cpp:223-237):
+        one row per sequence of 1-indexed ``col:value`` pairs."""
+        k = self._require_kernel()
+        n = k.shape[0]
+        with open(kernel_file, "w") as f:
+            for i in range(n):
+                f.write(
+                    "".join(f"{j + 1}:{k[i, j]:e} " for j in range(n))
+                )
+                f.write("\n")
+
+    # ------------------------------------------------------------ svm
+
+    def fit(
+        self,
+        C: float = 1.0,
+        nu: float = 0.5,
+        eps: float = 0.001,
+        kernel_type: str = "linear",
+    ) -> None:
+        """Train an SVM on the computed kernel (defaults match
+        bindings.cpp:36-41). ``kernel_type``:
+
+        - "fastsk": C-SVC directly on the precomputed gkm kernel
+        - "linear": C-SVC with a linear kernel over kernel rows (the
+          reference's default — kernel rows as an empirical kernel map)
+        - "rbf":    C-SVC with an RBF kernel over kernel rows
+        """
+        from .svm.kernel_svm import KernelSVC
+
+        if self.train_labels is None:
+            raise RuntimeError(
+                "labels are required: pass Ytrain to compute_kernel or call set_labels"
+            )
+        k = self._require_kernel()
+        ntr = self.n_str_train
+        y = np.asarray(self.train_labels)
+        rows_train = k[:ntr, :ntr]
+        if kernel_type == "fastsk":
+            gram = rows_train
+        elif kernel_type == "linear":
+            gram = rows_train @ rows_train.T
+        elif kernel_type == "rbf":
+            gamma = 1.0 / max(ntr, 1)
+            sq = np.sum(rows_train**2, axis=1)
+            gram = np.exp(-gamma * (sq[:, None] + sq[None, :] - 2 * rows_train @ rows_train.T))
+        else:
+            raise ValueError("kernel must be 'linear', 'fastsk', or 'rbf'")
+        self._fit_kernel_type = kernel_type
+        self._model = KernelSVC(C=C, eps=eps, probability=True).fit(gram, y)
+
+    def score(self, metric: str = "auc") -> float:
+        """Predict on the test block and report accuracy or AUROC
+        (fastsk.cpp:418-530, minus the unconditional auc_file.txt side
+        effect)."""
+        from .metrics import accuracy_score, auc_pairwise
+
+        if metric not in ("accuracy", "auc"):
+            raise ValueError("metric argument must be 'accuracy' or 'auc'")
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        if self.test_labels is None:
+            raise RuntimeError("test labels are required for score()")
+        k = self._require_kernel()
+        ntr = self.n_str_train
+        rows_train = k[:ntr, :ntr]
+        rows_test = k[ntr:, :ntr]
+        kt = self._fit_kernel_type
+        if kt == "fastsk":
+            gram_test = rows_test
+        elif kt == "linear":
+            gram_test = rows_test @ rows_train.T
+        else:  # rbf
+            gamma = 1.0 / max(ntr, 1)
+            sq_tr = np.sum(rows_train**2, axis=1)
+            sq_te = np.sum(rows_test**2, axis=1)
+            gram_test = np.exp(
+                -gamma * (sq_te[:, None] + sq_tr[None, :] - 2 * rows_test @ rows_train.T)
+            )
+        y_test = np.asarray(self.test_labels)
+        probs = self._model.predict_proba(gram_test)[:, 1]
+        preds = self._model.predict(gram_test)
+        if metric == "auc":
+            return auc_pairwise(y_test, probs)
+        return accuracy_score(y_test, preds) * 100.0

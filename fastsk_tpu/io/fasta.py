@@ -1,0 +1,146 @@
+"""FASTA-like sequence reading and vocabulary handling.
+
+Behavioral parity with the reference Python data layer
+(``/root/reference/src/fastsk/utils.py:5-104``): a ``Vocabulary`` maps tokens
+to integer ids with id 0 reserved for "unknown", and ``FastaUtility.read_data``
+parses the alternating ``>label`` / sequence format, lowercasing lines and
+restricting classification labels to {-1, 0, 1}.
+
+This module is pure host-side Python/numpy; device encoding lives in
+``fastsk_tpu.ops.encode``. A fast C++ parser with the same semantics is
+available in ``fastsk_tpu.native`` and used automatically when built.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple, Union
+
+Label = Union[int, str]
+
+
+class Vocabulary:
+    """Token -> integer-id map with index 0 reserved for the unknown token.
+
+    Mirrors the reference vocabulary semantics (utils.py:11-14): the map is
+    seeded with ``{0: 0}`` so real tokens receive ids starting at 1 and the
+    vocabulary size always counts the reserved slot.
+    """
+
+    def __init__(self) -> None:
+        self._token2idx: Dict[object, int] = {0: 0}
+        self._size = len(self._token2idx)
+
+    def add(self, token: object) -> int:
+        """Return the id for ``token``, inserting it if unseen."""
+        if token not in self._token2idx:
+            self._token2idx[token] = self._size
+            self._size += 1
+        return self._token2idx[token]
+
+    def get(self, token: object, default: int = 0) -> int:
+        """Look up a token without inserting; unknown tokens map to 0."""
+        return self._token2idx.get(token, default)
+
+    def size(self) -> int:
+        return self._size
+
+    def __len__(self) -> int:
+        return self._size
+
+    def __contains__(self, token: object) -> bool:
+        return token in self._token2idx
+
+    def __str__(self) -> str:
+        return str(self._token2idx)
+
+    @classmethod
+    def from_dictionary_file(cls, path: str) -> "Vocabulary":
+        """Build a vocabulary from a whitespace/newline separated token file.
+
+        Supports the reference's ``data/*.dictionary.txt`` files so encodings
+        can be pinned across datasets instead of inferred.
+        """
+        vocab = cls()
+        with open(path, "r") as f:
+            for line in f:
+                for token in line.strip().lower().split():
+                    vocab.add(token)
+        return vocab
+
+
+class FastaUtility:
+    """Reader for the FASTA-like alternating label/sequence format.
+
+    Format (reference ``docs/1start/data_in_out.md``)::
+
+        >1
+        ACGTACGT
+        >0
+        TTTTACGT
+
+    Labels are integers in {-1, 0, 1} for classification, or raw strings when
+    ``regression=True``. Sequences are lowercased and encoded per-character
+    through the shared :class:`Vocabulary`.
+    """
+
+    def __init__(self, vocab: Vocabulary | None = None) -> None:
+        self._vocab = Vocabulary() if vocab is None else vocab
+
+    @property
+    def vocab(self) -> Vocabulary:
+        return self._vocab
+
+    def read_data(
+        self,
+        data_file: str,
+        vocab: str = "inferred",
+        regression: bool = False,
+    ) -> Tuple[List[List[int]], List[Label]]:
+        """Read a FASTA-like file into integer-encoded sequences and labels.
+
+        Returns ``(X, Y)`` where ``X`` is a list of per-character id lists and
+        ``Y`` the label list. Repeated calls with the same utility share one
+        vocabulary, which is how train/test files get a consistent encoding.
+        """
+        assert vocab.lower() in ("dna", "protein", "inferred")
+        X: List[List[int]] = []
+        Y: List[Label] = []
+        with open(data_file, "r") as f:
+            label_line = True
+            for line in f:
+                line = line.strip().lower()
+                if not line:
+                    continue
+                if label_line:
+                    split = line.split(">")
+                    assert len(split) == 2, f"malformed label line: {line!r}"
+                    if regression:
+                        Y.append(split[1])
+                    else:
+                        label = int(split[1])
+                        assert label in (-1, 0, 1), f"bad label {label}"
+                        Y.append(label)
+                    label_line = False
+                else:
+                    X.append([self._vocab.add(ch) for ch in line])
+                    label_line = True
+        assert len(X) == len(Y), "unequal number of labels and sequences"
+        return X, Y
+
+    def shortest_seq(self, data_file: str) -> int:
+        X, _ = self.read_data(data_file)
+        return min(len(x) for x in X)
+
+
+def dict_size_for(Xs: Sequence[Sequence[Sequence[int]]]) -> int:
+    """Alphabet size used as the k-mer hash base.
+
+    Parity with the reference model layer (fastsk.cpp:70-84): the dictionary
+    is the set of all integer codes appearing in train+test plus the reserved
+    0, so the hash base equals ``|codes ∪ {0}|``.
+    """
+    codes = {0}
+    for X in Xs:
+        for seq in X:
+            codes.update(int(c) for c in seq)
+    return len(codes)

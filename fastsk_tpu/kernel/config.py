@@ -1,0 +1,45 @@
+"""Configuration for the gapped k-mer kernel engine."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+
+
+@dataclass
+class KernelConfig:
+    """Tuning knobs for the kernel engine.
+
+    Defaults are sized for a single 16 GB TPU chip; everything is
+    overridable. ``mesh`` enables multi-device execution with the theta
+    (work-queue) axis sharded across devices.
+    """
+
+    # Largest dense bucket space B = dict_size**k handled by the dense
+    # count-matmul path; beyond this the sorted/rank path takes over.
+    b_max_dense: int = 1 << 17
+
+    # Approximate HBM budget (bytes) for the count tensor C [T, N, B] of one
+    # theta batch; sets the theta batch size.
+    counts_budget_bytes: int = 2 << 30
+
+    # Approximate HBM budget for one row-chunk's one-hot intermediates.
+    onehot_budget_bytes: int = 1 << 30
+
+    # Upper bound on thetas per device step.
+    max_theta_batch: int = 64
+
+    # Optional fixed overrides (None = auto).
+    theta_batch: Optional[int] = None
+    row_chunk: Optional[int] = None
+
+    # Multi-device execution: a jax Mesh whose axes include "theta" (the
+    # work-queue data-parallel axis). None = single local device.
+    mesh: Optional[jax.sharding.Mesh] = None
+
+    # Device to place single-device work on (None = default backend device).
+    device: Optional[jax.Device] = None
+
+    quiet: bool = True

@@ -1,0 +1,243 @@
+"""Driver for exact and Monte-Carlo gapped k-mer kernel computation.
+
+The driver owns the theta work queue (the ``C(g, m)`` position subsets), cuts
+it into device-sized batches, and accumulates exact integer count matrices on
+device. It replaces the reference's pthread pool + banded-mutex merge
+(fastsk_kernel.cpp:53-93, 285-315) with functional accumulation: no locks, and
+— unlike the time-seeded reference — fully deterministic in approx mode.
+
+Integer-exactness policy: per-batch partial kernels are exact f32 integers
+(bounded by theta_batch * P^2 < 2^24), accumulated in an int32 device buffer,
+and spilled to a host int64 accumulator before the int32 range could
+overflow. The final unnormalized kernel is therefore the exact same integer
+matrix the reference computes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gkm
+from ..ops.combinatorics import enumerate_combinations, nchoosek
+from ..ops.encode import EncodedSeqs
+from .config import KernelConfig
+
+
+@dataclass
+class ApproxResult:
+    counts: np.ndarray  # int64 [N, N] summed sampled partial kernels
+    iters: int  # number of thetas consumed
+    stdevs: List[float]  # per-iteration convergence sd trace
+    converged: bool
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DenseGkmEngine:
+    """Dense-bucket engine: valid when ``dict_size ** k`` is materializable.
+
+    Covers every DNA workload and the small-k protein/NLP configs; the
+    sorted/rank path (``fastsk_tpu.kernel.sorted_engine``) covers the rest.
+    """
+
+    def __init__(self, enc: EncodedSeqs, g: int, m: int, config: Optional[KernelConfig] = None):
+        self.enc = enc
+        self.g = g
+        self.m = m
+        self.k = g - m
+        self.config = config or KernelConfig()
+        self.dict_size = enc.dict_size
+
+        self.b_total = self.dict_size**self.k
+        if self.b_total > self.config.b_max_dense:
+            raise ValueError(
+                f"bucket space dict_size**k = {self.b_total} exceeds dense "
+                f"limit {self.config.b_max_dense}; use the sorted path"
+            )
+        self.k1, self.k2 = gkm.split_k(self.k)
+        self.b1 = self.dict_size**self.k1
+        self.b2 = self.dict_size**self.k2
+
+        self.n = enc.n
+        self.p = enc.max_len - g + 1
+        self.p_max = int(enc.num_windows(g).max())
+        # counts fit bf16 exactly iff every count <= 256
+        self.count_dtype = jnp.bfloat16 if self.p_max <= 256 else jnp.float32
+        self.matmul_dtype = self.count_dtype
+
+        cfg = self.config
+        self.theta_batch = cfg.theta_batch or self._auto_theta_batch()
+        self.row_chunk = cfg.row_chunk or self._auto_row_chunk()
+
+        dev = cfg.device
+        self._ids = jax.device_put(jnp.asarray(enc.ids), dev)
+        self._lengths = jax.device_put(jnp.asarray(enc.lengths), dev)
+
+        # Batches must keep sum_t Ks_t < 2^24 for exact f32 accumulation.
+        f32_exact_cap = (1 << 24) // max(self.p_max**2, 1)
+        if f32_exact_cap < 1:
+            raise ValueError(
+                f"per-theta kernel entries can exceed 2^24 (P={self.p_max}); "
+                "unsupported shape for the dense engine"
+            )
+        self.theta_batch = max(1, min(self.theta_batch, f32_exact_cap))
+        # Spill the int32 device accumulator to a host int64 buffer before
+        # int32 could overflow.
+        self.spill_every_thetas = max(
+            self.theta_batch, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2
+        )
+
+    # ---------------------------------------------------------- sizing
+
+    def _auto_theta_batch(self) -> int:
+        cfg = self.config
+        bytes_per_theta = self.n * self.b_total * np.dtype(np.float32).itemsize
+        t = max(1, cfg.counts_budget_bytes // max(bytes_per_theta, 1))
+        return int(min(t, cfg.max_theta_batch))
+
+    def _auto_row_chunk(self) -> int:
+        cfg = self.config
+        itemsize = 2 if self.count_dtype == jnp.bfloat16 else 4
+        per_row = self.p * (self.b1 + self.b2) * itemsize * max(self.theta_batch, 1)
+        rows = max(8, cfg.onehot_budget_bytes // max(per_row, 1))
+        return int(min(_next_multiple(min(rows, self.n), 8), _next_multiple(self.n, 8)))
+
+    def _static_kwargs(self) -> dict:
+        return dict(
+            g=self.g,
+            dict_size=self.dict_size,
+            k1=self.k1,
+            b1=self.b1,
+            b2=self.b2,
+            count_dtype=self.count_dtype,
+            row_chunk=self.row_chunk,
+            matmul_dtype=self.matmul_dtype,
+        )
+
+    # ---------------------------------------------------------- exact
+
+    def _sum_thetas(self, thetas: np.ndarray) -> np.ndarray:
+        """Exact integer sum of K_theta over an explicit theta list."""
+        n = self.n
+        host_acc = np.zeros((n, n), dtype=np.int64)
+        k_acc = jnp.zeros((n, n), dtype=jnp.int32)
+        if self.config.device is not None:
+            k_acc = jax.device_put(k_acc, self.config.device)
+        kwargs = self._static_kwargs()
+
+        since_spill = 0
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(self.theta_batch, total - i)
+            batch = jnp.asarray(thetas[i : i + t], dtype=jnp.int32)
+            k_acc = gkm.exact_batch_update(
+                k_acc, self._ids, self._lengths, batch, **kwargs
+            )
+            i += t
+            since_spill += t
+            if since_spill >= self.spill_every_thetas:
+                host_acc += np.asarray(k_acc, dtype=np.int64)
+                k_acc = jnp.zeros_like(k_acc)
+                since_spill = 0
+        host_acc += np.asarray(k_acc, dtype=np.int64)
+        return host_acc
+
+    def exact(self) -> np.ndarray:
+        """Exact unnormalized kernel (int64 [N, N]) over all C(g, m) subsets."""
+        thetas = enumerate_combinations(self.g, self.k)
+        return self._sum_thetas(thetas)
+
+    # ---------------------------------------------------------- approx
+
+    def approx(
+        self,
+        conv_delta: float = 0.025,
+        max_iters: int = -1,
+        skip_variance: bool = False,
+        seed: int = 0,
+    ) -> ApproxResult:
+        """Monte-Carlo sampling of position subsets without replacement.
+
+        Matches the reference single-thread semantics
+        (fastsk_kernel.cpp:188-262): iterate a shuffled enumeration of all
+        subsets; with variance tracking, stop when the 95% CI half-width
+        drops below ``conv_delta``; honor ``max_iters``; with
+        ``skip_variance`` just accumulate raw counts for ``max_iters``
+        samples. Deterministic given ``seed`` (the reference seeds with
+        time(0) — reproducibility here is intentional).
+        """
+        rng = np.random.default_rng(seed)
+        all_thetas = enumerate_combinations(self.g, self.k)
+        order = rng.permutation(len(all_thetas))
+        stream = all_thetas[order]
+        total = len(stream)
+
+        if skip_variance:
+            limit = total if max_iters == -1 else min(max_iters, total)
+            counts = self._sum_thetas(stream[:limit])
+            return ApproxResult(
+                counts=counts, iters=limit, stdevs=[], converged=False
+            )
+
+        n = self.n
+        kwargs = self._static_kwargs()
+        kwargs_approx = dict(
+            kwargs,
+            n_train=self.enc.n_train,
+            check_variance=True,
+        )
+        dev = self.config.device
+        state = (
+            jax.device_put(jnp.zeros((n, n), jnp.int32), dev),
+            jax.device_put(jnp.zeros((n, n), jnp.float32), dev),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+        stdevs: List[float] = []
+        i = 0
+        done = False
+        while i < total and not done:
+            t = min(self.theta_batch, total - i)
+            batch = jnp.asarray(stream[i : i + t], dtype=jnp.int32)
+            state, sds = gkm.approx_batch_update(
+                state,
+                self._ids,
+                self._lengths,
+                batch,
+                conv_delta=conv_delta,
+                max_iters=max_iters,
+                **kwargs_approx,
+            )
+            i += t
+            sds_np = np.asarray(sds)
+            stdevs.extend(float(s) for s in sds_np if not math.isnan(s))
+            done = bool(state[3])
+
+        k_sum, _, it, done_flag = state
+        iters = int(it)
+        counts = np.asarray(k_sum, dtype=np.int64)
+        return ApproxResult(
+            counts=counts,
+            iters=iters,
+            stdevs=stdevs,
+            converged=bool(done_flag) and (max_iters == -1 or iters < max_iters or True),
+        )
+
+
+def cosine_normalize(counts: np.ndarray) -> np.ndarray:
+    """float64 cosine normalization, bit-matching the reference's double math
+    (fastsk_kernel.cpp:96-103)."""
+    k = counts.astype(np.float64)
+    diag = np.diag(k).copy()
+    # sqrt of the product (not product of sqrts): the reference computes
+    # sqrt(K[i][i] * K[j][j]) per entry, and the two differ in the last ulp.
+    return k / np.sqrt(np.multiply.outer(diag, diag))

@@ -1,0 +1,41 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
+hermetically, per the multi-host test strategy the reference lacks
+(SURVEY.md §4). Environment must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def small_train():
+    from fastsk_tpu import FastaUtility
+
+    reader = FastaUtility()
+    X, Y = reader.read_data(os.path.join(REFERENCE_DATA, "small.train.fasta"))
+    return X, Y, reader
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_ragged_seqs(rng, n, lmin, lmax, alphabet):
+    return [
+        rng.integers(1, alphabet + 1, size=rng.integers(lmin, lmax + 1)).tolist()
+        for _ in range(n)
+    ]

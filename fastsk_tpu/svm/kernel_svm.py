@@ -1,0 +1,211 @@
+"""Kernel C-SVC on a precomputed Gram matrix — a JAX SMO solver.
+
+Replaces the reference's embedded LIBSVM fork (libsvm-code/svm.cpp: the
+FASTSK kernel type reads precomputed kernel values, svm.cpp:237-240). The
+solver is the same optimization problem LIBSVM's Solver::Solve handles —
+
+    min 0.5 a^T Q a - e^T a,  0 <= a_i <= C_i,  y^T a = 0,
+    Q_ij = y_i y_j K_ij
+
+— with LIBSVM's second-order working-set selection (svm.cpp:805-923) and
+stopping rule, but implemented as a single jitted ``lax.while_loop`` over
+dense vector ops: the whole Gram lives in device memory, every iteration is
+O(n) on the VPU, and there is no kernel cache, shrinking, or locking because
+none of it is needed when K is resident.
+
+Probability estimates use Platt scaling on 5-fold cross-validated decision
+values, mirroring ``svm_binary_svc_probability`` (svm.cpp:1913-1999) with a
+deterministic fold assignment.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear import stratified_kfold_indices
+from .platt import sigmoid_predict, sigmoid_train
+
+_NEG_INF = -1e30
+_TAU = 1e-12
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _smo_solve(
+    Q: jnp.ndarray,  # [n, n] float32, Q = (y y^T) * K
+    y: jnp.ndarray,  # [n] float32 {-1, +1}
+    C_vec: jnp.ndarray,  # [n] per-sample upper bound
+    eps: float,
+    max_iter: int,
+):
+    """Returns (alpha, rho, iters). grad = Q a - e maintained incrementally."""
+    n = Q.shape[0]
+    alpha0 = jnp.zeros((n,), jnp.float32)
+    grad0 = -jnp.ones((n,), jnp.float32)
+
+    def select(alpha, grad):
+        # I_up: y=+1 & a<C  or  y=-1 & a>0 ; I_low: y=+1 & a>0 or y=-1 & a<C
+        up = jnp.where(y > 0, alpha < C_vec, alpha > 0)
+        low = jnp.where(y > 0, alpha > 0, alpha < C_vec)
+        minus_yg = -y * grad
+        gmax = jnp.max(jnp.where(up, minus_yg, _NEG_INF))
+        i = jnp.argmax(jnp.where(up, minus_yg, _NEG_INF))
+        gmax2 = jnp.max(jnp.where(low, -minus_yg, _NEG_INF))
+
+        # second-order j selection among I_low with positive violation
+        # b_t = Gmax + y_t grad_t (libsvm svm.cpp:858-886)
+        b = gmax + y * grad
+        qd = jnp.diagonal(Q)
+        a_coef = qd[i] + qd - 2.0 * y[i] * y * Q[i, :]
+        a_coef = jnp.where(a_coef <= 0, _TAU, a_coef)
+        obj_diff = -(b * b) / a_coef
+        cand = low & (b > 0)
+        j = jnp.argmin(jnp.where(cand, obj_diff, -_NEG_INF))
+        return i, j, gmax, gmax2
+
+    def body(state):
+        alpha, grad, it, _ = state
+        i, j, gmax, gmax2 = select(alpha, grad)
+
+        yi, yj = y[i], y[j]
+        qd = jnp.diagonal(Q)
+        quad = qd[i] + qd[j] - 2.0 * yi * yj * Q[i, j]
+        quad = jnp.where(quad <= 0, _TAU, quad)
+
+        # analytic pair Newton step (libsvm svm.cpp:565-706):
+        #   y_i != y_j: d = (-G_i - G_j)/quad;  a_i += d, a_j += d
+        #   y_i == y_j: d = ( G_i - G_j)/quad;  a_i -= d, a_j += d
+        ai, aj = alpha[i], alpha[j]
+        same_sign = yi == yj
+        delta_eq = (grad[i] - grad[j]) / quad
+        delta_neq = (-grad[i] - grad[j]) / quad
+        new_ai = jnp.where(same_sign, ai - delta_eq, ai + delta_neq)
+        new_aj = jnp.where(same_sign, aj + delta_eq, aj + delta_neq)
+
+        # project onto the feasible segment of the box; the conserved
+        # quantity is a_i + a_j (same sign) or a_i - a_j (different sign)
+        s_term = jnp.where(same_sign, ai + aj, ai - aj)
+        lo_i = jnp.where(same_sign, jnp.maximum(0.0, s_term - C_vec[j]), jnp.maximum(0.0, s_term))
+        hi_i = jnp.where(same_sign, jnp.minimum(C_vec[i], s_term), jnp.minimum(C_vec[i], C_vec[j] + s_term))
+        new_ai = jnp.clip(new_ai, lo_i, hi_i)
+        new_aj = jnp.where(same_sign, s_term - new_ai, new_ai - s_term)
+
+        dai = new_ai - ai
+        daj = new_aj - aj
+        grad = grad + Q[i, :] * dai + Q[j, :] * daj
+        alpha = alpha.at[i].set(new_ai).at[j].set(new_aj)
+        return alpha, grad, it + 1, gmax + gmax2
+
+    def cond(state):
+        alpha, grad, it, viol = state
+        return (it < max_iter) & (viol >= eps)
+
+    alpha, grad, iters, _ = jax.lax.while_loop(
+        cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+
+    # rho (bias): average -y*grad over free SVs, else midpoint of bounds
+    # (libsvm Solver::calculate_rho, svm.cpp:974-1004)
+    free = (alpha > 0) & (alpha < C_vec)
+    yg = y * grad
+    nfree = jnp.sum(free)
+    up = jnp.where(y > 0, alpha < C_vec, alpha > 0)
+    low = jnp.where(y > 0, alpha > 0, alpha < C_vec)
+    ub = jnp.min(jnp.where(up, yg, -_NEG_INF))
+    lb = jnp.max(jnp.where(low, yg, _NEG_INF))
+    rho = jnp.where(nfree > 0, jnp.sum(jnp.where(free, yg, 0.0)) / nfree, (ub + lb) / 2.0)
+    return alpha, rho, iters
+
+
+@dataclass
+class KernelSVC:
+    """C-SVC on a precomputed kernel, with optional Platt probabilities.
+
+    fit(gram, y): gram is K[train, train]. predict/decision take
+    K[new, train] rows against the same training set.
+    """
+
+    C: float = 1.0
+    eps: float = 1e-3
+    probability: bool = False
+    max_iter: int = 10_000_000
+    class_weight: Optional[str] = None
+    cv_folds: int = 5
+
+    def fit(self, gram: np.ndarray, y) -> "KernelSVC":
+        gram = np.asarray(gram, dtype=np.float32)
+        y = np.asarray(y)
+        classes = np.unique(y)
+        if len(classes) != 2:
+            raise ValueError(f"binary classification only; got classes {classes}")
+        self.classes_ = classes
+        y_signed = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
+
+        if self.class_weight == "balanced":
+            counts = np.array([(y == c).sum() for c in classes], dtype=np.float64)
+            cw = len(y) / (2.0 * counts)
+            c_vec = np.where(y == classes[1], cw[1], cw[0]) * self.C
+        else:
+            c_vec = np.full(len(y), self.C)
+        c_vec = c_vec.astype(np.float32)
+
+        alpha, rho, iters = self._solve(gram, y_signed, c_vec)
+        self.alpha_y_ = alpha * y_signed
+        self.rho_ = float(rho)
+        self.iters_ = int(iters)
+        self.support_ = np.flatnonzero(alpha > 0)
+
+        if self.probability:
+            self._fit_platt(gram, y, y_signed, c_vec)
+        return self
+
+    def _solve(self, gram, y_signed, c_vec):
+        max_iter = min(self.max_iter, max(10_000_000, 100 * len(y_signed)))
+        Q = jnp.asarray(gram) * jnp.outer(
+            jnp.asarray(y_signed), jnp.asarray(y_signed)
+        )
+        alpha, rho, iters = _smo_solve(
+            Q,
+            jnp.asarray(y_signed),
+            jnp.asarray(c_vec),
+            self.eps,
+            max_iter,
+        )
+        return np.asarray(alpha, np.float64), float(rho), int(iters)
+
+    def _fit_platt(self, gram, y, y_signed, c_vec):
+        """Cross-validated decision values -> sigmoid (svm.cpp:1913-1999)."""
+        folds = stratified_kfold_indices(y, self.cv_folds)
+        n = len(y)
+        all_idx = np.arange(n)
+        dec = np.zeros(n, dtype=np.float64)
+        for f in folds:
+            tr = np.setdiff1d(all_idx, f)
+            a, rho, _ = self._solve(
+                gram[np.ix_(tr, tr)], y_signed[tr], c_vec[tr]
+            )
+            dec[f] = gram[np.ix_(f, tr)] @ (a * y_signed[tr]) - rho
+        self.platt_ = sigmoid_train(dec, y_signed)
+
+    def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
+        """gram_rows: K[new, train]."""
+        return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
+
+    def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        d = self.decision_function(gram_rows)
+        return np.where(d > 0, self.classes_[1], self.classes_[0])
+
+    def predict_proba(self, gram_rows: np.ndarray) -> np.ndarray:
+        if not self.probability:
+            raise RuntimeError("fit with probability=True for predict_proba")
+        A, B = self.platt_
+        p = sigmoid_predict(self.decision_function(gram_rows), A, B)
+        return np.stack([1.0 - p, p], axis=1)
+
+    def score(self, gram_rows, y) -> float:
+        return float(np.mean(self.predict(gram_rows) == np.asarray(y)))

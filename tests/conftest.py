@@ -20,6 +20,19 @@ import pytest
 REFERENCE_DATA = "/root/reference/data"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Slow tests only run when FASTSK_RUN_SLOW=1; tpu tests need a TPU."""
+    run_slow = os.environ.get("FASTSK_RUN_SLOW") == "1"
+    skip_slow = pytest.mark.skip(reason="set FASTSK_RUN_SLOW=1 to run")
+    skip_tpu = pytest.mark.skip(reason="requires a TPU device")
+    on_tpu = os.environ.get("JAX_PLATFORMS", "cpu") not in ("cpu",)
+    for item in items:
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
+
+
 @pytest.fixture(scope="session")
 def small_train():
     from fastsk_tpu import FastaUtility

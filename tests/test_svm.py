@@ -1,0 +1,152 @@
+"""JAX SVM stack vs sklearn/libsvm oracles."""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu.metrics import accuracy_score, auc_pairwise, roc_auc
+from fastsk_tpu.svm.kernel_svm import KernelSVC
+from fastsk_tpu.svm.linear import (
+    CalibratedLinearSVC,
+    LinearSVC,
+    stratified_kfold_indices,
+    train_eval_linear,
+)
+from fastsk_tpu.svm.platt import sigmoid_predict, sigmoid_train
+
+
+def make_blobs(rng, n=120, d=6, sep=1.5):
+    y = rng.integers(0, 2, size=n)
+    X = rng.normal(size=(n, d)) + sep * (2 * y - 1)[:, None] * rng.normal(size=d)
+    return X.astype(np.float64), y
+
+
+# --------------------------------------------------------------- linear
+
+
+def test_linear_svc_matches_sklearn(rng):
+    from sklearn.svm import LinearSVC as SkLinearSVC
+
+    X, y = make_blobs(rng)
+    ours = LinearSVC(C=1.0).fit(X, y)
+    theirs = SkLinearSVC(C=1.0, loss="squared_hinge", tol=1e-8, max_iter=100000).fit(X, y)
+    # same optimum: weights and decisions agree to solver tolerance
+    np.testing.assert_allclose(ours.coef_, theirs.coef_, rtol=0, atol=2e-3)
+    np.testing.assert_allclose(ours.intercept_, theirs.intercept_, rtol=0, atol=2e-3)
+    Xt, yt = make_blobs(rng)
+    assert (ours.predict(Xt) == theirs.predict(Xt)).mean() >= 0.99
+
+
+def test_linear_svc_balanced_matches_sklearn(rng):
+    from sklearn.svm import LinearSVC as SkLinearSVC
+
+    X, y = make_blobs(rng, n=150)
+    y[:100] = 0  # imbalance
+    ours = LinearSVC(C=0.5, class_weight="balanced").fit(X, y)
+    theirs = SkLinearSVC(
+        C=0.5, class_weight="balanced", loss="squared_hinge", tol=1e-8, max_iter=100000
+    ).fit(X, y)
+    np.testing.assert_allclose(ours.coef_, theirs.coef_, rtol=0, atol=5e-3)
+
+
+def test_stratified_folds_match_sklearn():
+    from sklearn.model_selection import StratifiedKFold
+
+    y = np.array([0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 1, 0, 0, 1, 1, 0, 1, 0, 1])
+    ours = stratified_kfold_indices(y, 5)
+    theirs = [te for _, te in StratifiedKFold(n_splits=5).split(np.zeros_like(y), y)]
+    for a, b in zip(ours, theirs):
+        np.testing.assert_array_equal(a, np.sort(b))
+
+
+def test_calibrated_matches_sklearn(rng):
+    from sklearn.calibration import CalibratedClassifierCV
+    from sklearn.svm import LinearSVC as SkLinearSVC
+
+    X, y = make_blobs(rng, n=200)
+    Xt, yt = make_blobs(rng, n=80)
+    ours = CalibratedLinearSVC(C=1.0).fit(X, y)
+    theirs = CalibratedClassifierCV(SkLinearSVC(C=1.0, max_iter=100000), cv=5).fit(X, y)
+    p_ours = ours.predict_proba(Xt)[:, 1]
+    p_theirs = theirs.predict_proba(Xt)[:, 1]
+    np.testing.assert_allclose(p_ours, p_theirs, atol=0.02)
+    assert abs(roc_auc(yt, p_ours) - roc_auc(yt, p_theirs)) < 0.01
+
+
+# --------------------------------------------------------------- platt
+
+
+def test_platt_sigmoid_reasonable(rng):
+    dec = np.concatenate([rng.normal(2, 1, 50), rng.normal(-2, 1, 50)])
+    y = np.concatenate([np.ones(50), -np.ones(50)])
+    A, B = sigmoid_train(dec, y)
+    assert A < 0  # decreasing in -f convention: P(pos) grows with dec value
+    p = sigmoid_predict(dec, A, B)
+    assert p[:50].mean() > 0.8
+    assert p[50:].mean() < 0.2
+
+
+# --------------------------------------------------------------- kernel svc
+
+
+def test_kernel_svc_matches_libsvm_precomputed(rng):
+    from sklearn.svm import SVC
+
+    X, y = make_blobs(rng, n=100, d=5)
+    K = X @ X.T
+    ours = KernelSVC(C=1.0, eps=1e-5).fit(K, y)
+    theirs = SVC(C=1.0, kernel="precomputed", tol=1e-5).fit(K, y)
+
+    d_ours = ours.decision_function(K)
+    d_theirs = theirs.decision_function(K)
+    np.testing.assert_allclose(d_ours, d_theirs, atol=1e-2)
+    assert (ours.predict(K) == theirs.predict(K)).all()
+    # dual solution parity
+    a_theirs = np.zeros(len(y))
+    a_theirs[theirs.support_] = theirs.dual_coef_[0]
+    np.testing.assert_allclose(ours.alpha_y_, a_theirs, atol=1e-2)
+
+
+def test_kernel_svc_probability_auc_close_to_libsvm(rng):
+    from sklearn.svm import SVC
+
+    X, y = make_blobs(rng, n=120, d=5)
+    Xt, yt = make_blobs(rng, n=60, d=5)
+    K = X @ X.T
+    Kt = Xt @ X.T
+    ours = KernelSVC(C=1.0, probability=True).fit(K, y)
+    theirs = SVC(C=1.0, kernel="precomputed", probability=True, random_state=0).fit(K, y)
+    auc_ours = roc_auc(yt, ours.predict_proba(Kt)[:, 1])
+    auc_theirs = roc_auc(yt, theirs.predict_proba(Kt)[:, 1])
+    assert abs(auc_ours - auc_theirs) < 0.03
+
+
+# --------------------------------------------------------------- metrics
+
+
+def test_auc_variants():
+    y = np.array([1, 1, 0, 0])
+    s = np.array([0.9, 0.5, 0.5, 0.1])
+    # pairwise-strict: pairs (0.9>0.5), (0.9>0.1), (0.5>0.1) correct, (0.5,0.5) tie=0
+    assert auc_pairwise(y, s) == 0.75
+    # standard: tie gets half credit
+    assert roc_auc(y, s) == 0.875
+
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(0)
+    yy = rng.integers(0, 2, 200)
+    ss = rng.normal(size=200) + yy
+    assert abs(roc_auc(yy, ss) - roc_auc_score(yy, ss)) < 1e-12
+
+
+def test_accuracy_handles_label_conventions():
+    assert accuracy_score([-1, 1, 1], [-1, 1, -1]) == pytest.approx(2 / 3)
+    assert accuracy_score([0, 1, 1], [0, 1, 0]) == pytest.approx(2 / 3)
+
+
+def test_integration_train_eval_linear(rng):
+    X, y = make_blobs(rng, n=150, d=8)
+    Xt, yt = make_blobs(rng, n=60, d=8)
+    res = train_eval_linear(X, Xt, y, yt, C=1.0)
+    assert res["auc"] > 0.9
+    assert res["acc"] > 0.85

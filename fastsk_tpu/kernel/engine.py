@@ -15,6 +15,7 @@ matrix the reference computes.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -77,9 +78,21 @@ class DenseGkmEngine:
         self.theta_batch = cfg.theta_batch or self._auto_theta_batch()
         self.row_chunk = cfg.row_chunk or self._auto_row_chunk()
 
-        dev = cfg.device
-        self._ids = jax.device_put(jnp.asarray(enc.ids), dev)
-        self._lengths = jax.device_put(jnp.asarray(enc.lengths), dev)
+        self.mesh = cfg.mesh
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+
+            self._ids, self._lengths, self.n_padded = shd.shard_rows(
+                self.mesh, enc.ids, enc.lengths
+            )
+            self._rows_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(shd.ROWS_AXIS, None)
+            )
+        else:
+            dev = cfg.device
+            self._ids = jax.device_put(jnp.asarray(enc.ids), dev)
+            self._lengths = jax.device_put(jnp.asarray(enc.lengths), dev)
+            self.n_padded = self.n
 
         # Batches must keep sum_t Ks_t < 2^24 for exact f32 accumulation.
         f32_exact_cap = (1 << 24) // max(self.p_max**2, 1)
@@ -126,6 +139,8 @@ class DenseGkmEngine:
 
     def _sum_thetas(self, thetas: np.ndarray) -> np.ndarray:
         """Exact integer sum of K_theta over an explicit theta list."""
+        if self.mesh is not None:
+            return self._sum_thetas_sharded(thetas)
         n = self.n
         host_acc = np.zeros((n, n), dtype=np.int64)
         k_acc = jnp.zeros((n, n), dtype=jnp.int32)
@@ -150,6 +165,48 @@ class DenseGkmEngine:
                 since_spill = 0
         host_acc += np.asarray(k_acc, dtype=np.int64)
         return host_acc
+
+    def _sum_thetas_sharded(self, thetas: np.ndarray) -> np.ndarray:
+        """Mesh-parallel exact sum: rows x theta sharding, psum merge."""
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_theta = mesh.shape[shd.THETA_AXIS]
+        np_pad = self.n_padded
+        # per-device theta quota keeps the (rows x theta) step the same size
+        # as a single-device theta batch
+        batch_sz = max(self.theta_batch, 1) * n_theta
+        kwargs = self._static_kwargs()
+
+        host_acc = np.zeros((np_pad, np_pad), dtype=np.int64)
+        k_acc = jnp.zeros((np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding)
+        since_spill = 0
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(batch_sz, total - i)
+            batch, mask = shd.pad_theta_batch(
+                np.asarray(thetas[i : i + t], dtype=np.int32), n_theta
+            )
+            k_acc = shd.exact_batch_update_sharded(
+                k_acc,
+                self._ids,
+                self._lengths,
+                jnp.asarray(batch),
+                jnp.asarray(mask),
+                mesh=mesh,
+                **kwargs,
+            )
+            i += t
+            since_spill += t
+            if since_spill >= self.spill_every_thetas:
+                host_acc += np.asarray(k_acc, dtype=np.int64)
+                k_acc = jnp.zeros(
+                    (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
+                )
+                since_spill = 0
+        host_acc += np.asarray(k_acc, dtype=np.int64)
+        return host_acc[: self.n, : self.n]
 
     def exact(self) -> np.ndarray:
         """Exact unnormalized kernel (int64 [N, N]) over all C(g, m) subsets."""
@@ -195,20 +252,35 @@ class DenseGkmEngine:
             n_train=self.enc.n_train,
             check_variance=True,
         )
-        dev = self.config.device
-        state = (
-            jax.device_put(jnp.zeros((n, n), jnp.int32), dev),
-            jax.device_put(jnp.zeros((n, n), jnp.float32), dev),
-            jnp.int32(0),
-            jnp.bool_(False),
-        )
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+
+            np_pad = self.n_padded
+            state = (
+                jnp.zeros((np_pad, np_pad), jnp.int32, device=self._rows_sharding),
+                jnp.zeros((np_pad, np_pad), jnp.float32, device=self._rows_sharding),
+                jnp.int32(0),
+                jnp.bool_(False),
+            )
+            update = functools.partial(
+                shd.approx_batch_update_sharded, mesh=self.mesh
+            )
+        else:
+            dev = self.config.device
+            state = (
+                jax.device_put(jnp.zeros((n, n), jnp.int32), dev),
+                jax.device_put(jnp.zeros((n, n), jnp.float32), dev),
+                jnp.int32(0),
+                jnp.bool_(False),
+            )
+            update = gkm.approx_batch_update
         stdevs: List[float] = []
         i = 0
         done = False
         while i < total and not done:
             t = min(self.theta_batch, total - i)
             batch = jnp.asarray(stream[i : i + t], dtype=jnp.int32)
-            state, sds = gkm.approx_batch_update(
+            state, sds = update(
                 state,
                 self._ids,
                 self._lengths,
@@ -224,7 +296,7 @@ class DenseGkmEngine:
 
         k_sum, _, it, done_flag = state
         iters = int(it)
-        counts = np.asarray(k_sum, dtype=np.int64)
+        counts = np.asarray(k_sum, dtype=np.int64)[: self.n, : self.n]
         return ApproxResult(
             counts=counts,
             iters=iters,

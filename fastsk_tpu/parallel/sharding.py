@@ -1,0 +1,290 @@
+"""Multi-device execution of the gkm kernel over a ``jax.sharding.Mesh``.
+
+The reference's only parallelism is a single-host pthread pool over the
+C(g, m) counting passes with a banded-mutex merge (fastsk_kernel.cpp:53-93,
+285-315). The TPU-native replacement shards two axes of the computation over
+a device mesh and merges with XLA collectives instead of locks:
+
+- ``rows``: sequences (kernel-matrix row blocks) — data parallelism. Each
+  device builds the count matrices ``C_theta`` for its row block, all-gathers
+  the column copies over ICI, and produces its row block of
+  ``K = sum_theta C_theta @ C_theta^T`` on the local MXU.
+- ``theta``: the work queue of position subsets — the axis the reference
+  threads over. Partial kernels from different theta shards merge with a
+  single ``psum``.
+
+Exact mode shards ``rows x theta``. Approx (Monte-Carlo) mode is a
+sequential statistical procedure — the Welford convergence state must see
+thetas in order — so it shards ``rows`` only and keeps the per-theta scan,
+with the convergence statistic reduced across row shards by ``psum``.
+
+Everything here is deterministic: no lock ordering, no time seeding
+(fastsk_kernel.cpp:37), and integer-exact accumulation identical to the
+single-device path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import gkm
+
+ROWS_AXIS = "rows"
+THETA_AXIS = "theta"
+
+
+def make_mesh(n_rows: int, n_theta: int, devices=None) -> Mesh:
+    """Create a ``(rows, theta)`` mesh from the first ``n_rows * n_theta``
+    local devices (or an explicit device list)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_rows * n_theta
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_rows, n_theta)
+    return Mesh(arr, (ROWS_AXIS, THETA_AXIS))
+
+
+def default_mesh_shape(n_devices: int) -> Tuple[int, int]:
+    """Split n_devices into (rows, theta) favoring a balanced 2-D mesh."""
+    rows = 1
+    for cand in range(int(np.sqrt(n_devices)), 0, -1):
+        if n_devices % cand == 0:
+            rows = cand
+            break
+    return rows, n_devices // rows
+
+
+def pad_to_multiple(x: np.ndarray, axis: int, multiple: int) -> np.ndarray:
+    size = x.shape[axis]
+    target = ((size + multiple - 1) // multiple) * multiple
+    if target == size:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - size)
+    return np.pad(x, widths)
+
+
+def shard_rows(mesh: Mesh, ids: np.ndarray, lengths: np.ndarray):
+    """Pad the sequence axis to the rows-axis size and place sharded arrays.
+
+    Padded rows have length 0, so every window is masked invalid and they
+    contribute exactly zero counts — the kernel rows/cols come out zero and
+    are sliced off by the caller.
+    """
+    n_rows = mesh.shape[ROWS_AXIS]
+    ids_p = pad_to_multiple(ids, 0, n_rows)
+    lengths_p = pad_to_multiple(lengths, 0, n_rows)
+    ids_s = jax.device_put(ids_p, NamedSharding(mesh, P(ROWS_AXIS, None)))
+    lengths_s = jax.device_put(lengths_p, NamedSharding(mesh, P(ROWS_AXIS)))
+    return ids_s, lengths_s, ids_p.shape[0]
+
+
+def pad_theta_batch(thetas: np.ndarray, n_theta: int):
+    """Pad a theta batch to the theta-axis size; returns (thetas, mask)."""
+    t = thetas.shape[0]
+    thetas_p = pad_to_multiple(thetas, 0, n_theta)
+    mask = np.zeros(thetas_p.shape[0], dtype=np.float32)
+    mask[:t] = 1.0
+    return thetas_p, mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "g",
+        "dict_size",
+        "k1",
+        "b1",
+        "b2",
+        "count_dtype",
+        "row_chunk",
+        "matmul_dtype",
+    ),
+)
+def exact_batch_update_sharded(
+    k_acc: jnp.ndarray,  # [Np, Np] int32, rows-sharded
+    ids: jnp.ndarray,  # [Np, L] rows-sharded
+    lengths: jnp.ndarray,  # [Np] rows-sharded
+    thetas: jnp.ndarray,  # [Tp, k] theta-sharded
+    theta_mask: jnp.ndarray,  # [Tp] f32 theta-sharded, 0 for padding
+    *,
+    mesh: Mesh,
+    g: int,
+    dict_size: int,
+    k1: int,
+    b1: int,
+    b2: int,
+    count_dtype,
+    row_chunk: int,
+    matmul_dtype,
+) -> jnp.ndarray:
+    """``k_acc += sum_theta C_theta @ C_theta^T`` over a (rows, theta) mesh."""
+
+    def local(k_l, ids_l, len_l, th_l, mask_l):
+        counts = gkm._counts_for_batch(
+            ids_l,
+            len_l,
+            th_l,
+            g=g,
+            dict_size=dict_size,
+            k1=k1,
+            b1=b1,
+            b2=b2,
+            count_dtype=count_dtype,
+            row_chunk=row_chunk,
+        )
+        counts = counts * mask_l[:, None, None].astype(counts.dtype)
+        counts = counts.astype(matmul_dtype)
+        # column copies of the count matrices ride ICI once per batch
+        counts_all = jax.lax.all_gather(counts, ROWS_AXIS, axis=1, tiled=True)
+        k_part = jnp.einsum(
+            "tnb,tmb->nm", counts, counts_all, preferred_element_type=jnp.float32
+        )
+        k_part = jax.lax.psum(k_part, THETA_AXIS)
+        return k_l + k_part.astype(jnp.int32)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS, None),
+            P(ROWS_AXIS, None),
+            P(ROWS_AXIS),
+            P(THETA_AXIS, None),
+            P(THETA_AXIS),
+        ),
+        out_specs=P(ROWS_AXIS, None),
+    )(k_acc, ids, lengths, thetas, theta_mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "g",
+        "dict_size",
+        "k1",
+        "b1",
+        "b2",
+        "count_dtype",
+        "row_chunk",
+        "matmul_dtype",
+        "n_train",
+        "check_variance",
+    ),
+)
+def approx_batch_update_sharded(
+    state: Tuple[jnp.ndarray, ...],  # (k_sum [Np,Np], mean [Np,Np], it, done)
+    ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    thetas: jnp.ndarray,  # [T, k] replicated — order is the sample stream
+    *,
+    mesh: Mesh,
+    g: int,
+    dict_size: int,
+    k1: int,
+    b1: int,
+    b2: int,
+    count_dtype,
+    row_chunk: int,
+    matmul_dtype,
+    n_train: int,
+    check_variance: bool,
+    conv_delta: float,
+    max_iters: int,
+):
+    """Rows-sharded Monte-Carlo batch with the reference stop rule.
+
+    Semantically identical to ``gkm.approx_batch_update`` (single-device):
+    thetas are consumed strictly in order and the convergence statistic —
+    the mean Welford variance over the packed train-pair triangle
+    (fastsk_kernel.cpp:108-143) — is reduced over row shards with ``psum``
+    each iteration.
+    """
+    n_rows_axis = mesh.shape[ROWS_AXIS]
+    n_total = ids.shape[0]
+    n_local = n_total // n_rows_axis
+    tri_count = n_train * (n_train + 1) / 2.0
+
+    def local(state_l, ids_l, len_l, th):
+        k_sum_l, mean_l, it, done = state_l
+        counts = gkm._counts_for_batch(
+            ids_l,
+            len_l,
+            th,
+            g=g,
+            dict_size=dict_size,
+            k1=k1,
+            b1=b1,
+            b2=b2,
+            count_dtype=count_dtype,
+            row_chunk=row_chunk,
+        ).astype(matmul_dtype)
+        counts_all = jax.lax.all_gather(counts, ROWS_AXIS, axis=1, tiled=True)
+
+        row0 = jax.lax.axis_index(ROWS_AXIS) * n_local
+        grow = row0 + jnp.arange(n_local)[:, None]  # global row ids [n_local,1]
+        gcol = jnp.arange(n_total)[None, :]
+        train_pair = (grow < n_train) & (gcol < n_train)
+        on_diag = grow == gcol
+
+        def step(carry, c_pair):
+            k_sum, mean, it, done = carry
+            c_l, c_all = c_pair
+            ks = jnp.matmul(c_l, c_all.T, preferred_element_type=jnp.float32)
+            it_new = it + 1
+            new_sum = k_sum + ks.astype(jnp.int32)
+
+            if check_variance:
+                delta = ks - mean
+                new_mean = mean + delta / it_new.astype(jnp.float32)
+                delta2 = ks - new_mean
+                prod = jnp.where(train_pair, delta * delta2, 0.0)
+                local_tri = (
+                    jnp.sum(prod) + jnp.sum(jnp.where(on_diag, prod, 0.0))
+                ) / 2.0
+                tri_sum = jax.lax.psum(local_tri, ROWS_AXIS)
+                avg_var = tri_sum / tri_count
+                avg_var = jnp.where(
+                    it_new == 1, 9999999.0, avg_var / jnp.maximum(it_new - 1, 1)
+                )
+                sd = jnp.sqrt(avg_var / it_new)
+                converged = conv_delta / sd > 1.96
+            else:
+                new_mean = mean
+                sd = jnp.float32(jnp.nan)
+                converged = jnp.bool_(False)
+
+            hit_max = (max_iters != -1) & (it_new >= max_iters)
+            new_done = done | converged | hit_max
+            k_sum = jnp.where(done, k_sum, new_sum)
+            mean = jnp.where(done, mean, new_mean)
+            it = jnp.where(done, it, it_new)
+            sd = jnp.where(done, jnp.float32(jnp.nan), sd)
+            return (k_sum, mean, it, new_done), sd
+
+        # scan over the theta axis of the batch, in stream order
+        (k_sum_l, mean_l, it, done), sds = jax.lax.scan(
+            step, (k_sum_l, mean_l, it, done), (counts, counts_all)
+        )
+        return (k_sum_l, mean_l, it, done), sds
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            (P(ROWS_AXIS, None), P(ROWS_AXIS, None), P(), P()),
+            P(ROWS_AXIS, None),
+            P(ROWS_AXIS),
+            P(),
+        ),
+        out_specs=((P(ROWS_AXIS, None), P(ROWS_AXIS, None), P(), P()), P()),
+    )(state, ids, lengths, thetas)

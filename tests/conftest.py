@@ -7,12 +7,20 @@ hermetically, per the multi-host test strategy the reference lacks
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests are hermetic: run on a virtual 8-device CPU mesh even when the
+# session environment points JAX at a real accelerator (JAX_PLATFORMS=axon
+# etc.). Set FASTSK_TEST_TPU=1 to run the @pytest.mark.tpu tests on real
+# hardware instead.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if os.environ.get("FASTSK_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,84 @@
+"""Multi-device mesh tests on the virtual 8-device CPU mesh.
+
+The sharded exact path must produce the *identical integer* kernel as the
+single-device path — functional accumulation plus psum is deterministic,
+unlike the reference's banded-mutex merge (fastsk_kernel.cpp:285-315).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK, KernelConfig
+from fastsk_tpu.parallel import make_mesh, default_mesh_shape
+
+from conftest import random_ragged_seqs
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(2, 4)
+
+
+def test_default_mesh_shape():
+    assert default_mesh_shape(8) == (2, 4)
+    assert default_mesh_shape(4) == (2, 2)
+    assert default_mesh_shape(1) == (1, 1)
+    assert default_mesh_shape(6) == (2, 3)
+
+
+def test_exact_sharded_matches_single_device(rng, mesh8):
+    X = random_ragged_seqs(rng, 21, 12, 20, alphabet=4)
+    single = FastSK(g=6, m=2)
+    single.compute_train(X)
+    sharded = FastSK(g=6, m=2, config=KernelConfig(mesh=mesh8))
+    sharded.compute_train(X)
+    np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)
+
+
+def test_exact_sharded_train_test_split(rng, mesh8):
+    Xtr = random_ragged_seqs(rng, 13, 10, 16, alphabet=3)
+    Xte = random_ragged_seqs(rng, 6, 10, 16, alphabet=3)
+    single = FastSK(g=5, m=2)
+    single.compute_kernel(Xtr, Xte)
+    sharded = FastSK(g=5, m=2, config=KernelConfig(mesh=mesh8))
+    sharded.compute_kernel(Xtr, Xte)
+    np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)
+    np.testing.assert_allclose(single.kernel, sharded.kernel)
+
+
+def test_approx_sharded_matches_single_device(rng):
+    """Rows-only mesh: the sequential Monte-Carlo stream must consume the
+    same thetas, stop at the same iteration, and sum the same integers."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(4, 1)
+    X = random_ragged_seqs(rng, 18, 14, 20, alphabet=4)
+    single = FastSK(g=8, m=4, approx=True, max_iters=17, seed=3)
+    single.compute_train(X)
+    sharded = FastSK(
+        g=8, m=4, approx=True, max_iters=17, seed=3, config=KernelConfig(mesh=mesh)
+    )
+    sharded.compute_train(X)
+    assert single.iterations == sharded.iterations
+    np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)
+    np.testing.assert_allclose(
+        single.get_stdevs(), sharded.get_stdevs(), rtol=1e-4
+    )
+
+
+def test_approx_sharded_convergence_stop(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = make_mesh(2, 1)
+    X = random_ragged_seqs(rng, 16, 14, 20, alphabet=4)
+    single = FastSK(g=10, m=6, approx=True, delta=0.5, seed=7)
+    single.compute_train(X)
+    sharded = FastSK(
+        g=10, m=6, approx=True, delta=0.5, seed=7, config=KernelConfig(mesh=mesh)
+    )
+    sharded.compute_train(X)
+    assert single.iterations == sharded.iterations
+    np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: EP300_47848 exact gkm kernel at g=16, m=10.
+
+This is the BASELINE.json north-star workload: all C(16,10) = 8008 exact
+counting passes over the 7230-sequence EP300_47848 DNA set (6506 train / 724
+test, length 200), against the reference C++ engine's measured single-thread
+wall-clock (BASELINE_MEASURED.json: 2.77 s/pass -> 22152 s extrapolated).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+
+Usage: python bench.py [--g G] [--m M] [--dataset NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+BASELINE_S = 22152.1  # reference single-thread, see BASELINE_MEASURED.json
+DATA = "/root/reference/data"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="EP300_47848")
+    ap.add_argument("--g", type=int, default=16)
+    ap.add_argument("--m", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fastsk_tpu.io.fasta import FastaUtility
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
+    from fastsk_tpu.ops.combinatorics import nchoosek
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    reader = FastaUtility()
+    Xtr, _ = reader.read_data(f"{DATA}/{args.dataset}.train.fasta")
+    Xte, _ = reader.read_data(f"{DATA}/{args.dataset}.test.fasta")
+    enc = encode_sequences(Xtr, Xte)
+    g, m = args.g, args.m
+    k = g - m
+    total_passes = int(nchoosek(g, k))
+    log(
+        f"{args.dataset}: N={enc.n} (train {enc.n_train}) Lmax={enc.max_len} "
+        f"base={enc.hash_base} | g={g} m={m} k={k} passes={total_passes}"
+    )
+
+    engine = PairsGkmEngine(enc, g, m, KernelConfig())
+    log(
+        f"pairs engine: n_pad={engine.n_pad} p_pad={engine.p_pad} "
+        f"c_i={engine.c_i} c_j={engine.c_j} strips={engine.n_strips_i}"
+    )
+
+    # first call compiles; time the steady state
+    t0 = time.perf_counter()
+    counts = engine.exact()
+    log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    counts = engine.exact()
+    wall = time.perf_counter() - t0
+    log(f"full exact kernel: {wall:.2f} s; K[0,0]={counts[0, 0]}")
+
+    pairs = enc.n * (enc.n + 1) / 2 * total_passes
+    log(f"pairs/s/chip: {pairs / wall:.3e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.dataset}_g{g}_m{m}_exact_kernel_wall",
+                "value": round(wall, 2),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

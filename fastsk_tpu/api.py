@@ -65,14 +65,34 @@ class FastSK:
     # ------------------------------------------------------------ kernel
 
     def _make_engine(self, enc: EncodedSeqs):
-        b_total = enc.dict_size ** self.k
+        b_total = enc.hash_base ** self.k
         if b_total <= self.config.b_max_dense:
             return DenseGkmEngine(enc, self.g, self.m, self.config)
         return SortedGkmEngine(enc, self.g, self.m, self.config)
 
+    def _make_exact_engine(self, enc: EncodedSeqs):
+        """Exact mode prefers the all-pairs engine (single fused sweep over
+        window pairs, no C(g,m) pass loop); mesh execution and forced
+        selection use the theta engine."""
+        from .kernel.pairs_engine import PairsGkmEngine
+
+        choice = self.config.exact_engine
+        if choice not in ("auto", "pairs", "theta"):
+            raise ValueError(f"unknown exact_engine {choice!r}")
+        if choice == "theta" or (choice == "auto" and self.config.mesh is not None):
+            return self._make_engine(enc)
+        try:
+            return PairsGkmEngine(enc, self.g, self.m, self.config)
+        except ValueError:
+            if choice == "pairs":
+                raise
+            return self._make_engine(enc)
+
     def _compute(self, enc: EncodedSeqs) -> None:
         validate_g(enc, self.g, self.m)
-        engine = self._make_engine(enc)
+        engine = (
+            self._make_engine(enc) if self.approx else self._make_exact_engine(enc)
+        )
         if self.approx:
             res: ApproxResult = engine.approx(
                 conv_delta=self.delta,

@@ -42,4 +42,9 @@ class KernelConfig:
     # Device to place single-device work on (None = default backend device).
     device: Optional[jax.Device] = None
 
+    # Exact-mode engine selection: "auto" prefers the all-pairs engine
+    # (kernel/pairs_engine.py) and falls back to the theta engine when the
+    # int32 count bound rules it out; "pairs" / "theta" force one.
+    exact_engine: str = "auto"
+
     quiet: bool = True

@@ -56,16 +56,18 @@ class DenseGkmEngine:
         self.k = g - m
         self.config = config or KernelConfig()
         self.dict_size = enc.dict_size
+        self.base = enc.hash_base
+        self.code_min = enc.code_min
 
-        self.b_total = self.dict_size**self.k
+        self.b_total = self.base**self.k
         if self.b_total > self.config.b_max_dense:
             raise ValueError(
-                f"bucket space dict_size**k = {self.b_total} exceeds dense "
+                f"bucket space base**k = {self.b_total} exceeds dense "
                 f"limit {self.config.b_max_dense}; use the sorted path"
             )
         self.k1, self.k2 = gkm.split_k(self.k)
-        self.b1 = self.dict_size**self.k1
-        self.b2 = self.dict_size**self.k2
+        self.b1 = self.base**self.k1
+        self.b2 = self.base**self.k2
 
         self.n = enc.n
         self.p = enc.max_len - g + 1
@@ -126,7 +128,8 @@ class DenseGkmEngine:
     def _static_kwargs(self) -> dict:
         return dict(
             g=self.g,
-            dict_size=self.dict_size,
+            base=self.base,
+            code_min=self.code_min,
             k1=self.k1,
             b1=self.b1,
             b2=self.b2,

@@ -30,6 +30,17 @@ class EncodedSeqs:
     lengths: np.ndarray
     n_train: int
     dict_size: int
+    # observed code range: hashing uses digits ``code - code_min`` in base
+    # ``hash_base = code_max - code_min + 1``, which is injective on observed
+    # g-mers and shrinks the bucket space vs the reference's dict_size base
+    # (vocabulary code 0 is reserved-unknown and never appears in data read
+    # through FastaUtility, so base 4 DNA stays base 4, not 6).
+    code_min: int = 0
+    code_max: int = 0
+
+    @property
+    def hash_base(self) -> int:
+        return max(self.code_max - self.code_min + 1, 1)
 
     @property
     def n(self) -> int:
@@ -74,14 +85,25 @@ def encode_sequences(
     lmax = ((lmax + pad_multiple - 1) // pad_multiple) * pad_multiple
     ids = np.zeros((len(seqs), lmax), dtype=np.int32)
     codes = {0}
+    code_min, code_max = None, None
     for i, s in enumerate(seqs):
         ids[i, : len(s)] = s
+        if len(s):
+            lo, hi = int(s.min()), int(s.max())
+            code_min = lo if code_min is None else min(code_min, lo)
+            code_max = hi if code_max is None else max(code_max, hi)
         codes.update(np.unique(s).tolist())
+    if code_min is None:
+        code_min = code_max = 0
+    if code_min < 0:
+        raise ValueError(f"negative sequence codes are not supported (min={code_min})")
     return EncodedSeqs(
         ids=ids,
         lengths=lengths,
         n_train=len(list(Xtrain)),
         dict_size=len(codes),
+        code_min=code_min,
+        code_max=code_max,
     )
 
 

@@ -64,10 +64,14 @@ def split_k(k: int) -> Tuple[int, int]:
 def theta_hashes(
     windows: jnp.ndarray,  # [N, P, g] int32
     thetas: jnp.ndarray,  # [T, k] int32 position subsets
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Base-``dict_size`` positional hashes of the projected k-mers.
+    """Positional hashes of the projected k-mers in base ``base`` over
+    digits ``code - code_min`` (injective on the observed code range and
+    tighter than the reference's dict_size base: DNA hashes in base 4/5,
+    not 6).
 
     Returns ``(H1, H2)`` of shape ``[T, N, P]`` int32 where the projected
     k-mer value is ``H1 * ds^k2 + H2``. Equivalent to the reference's
@@ -80,10 +84,11 @@ def theta_hashes(
     # gathered[t, n, p, j] = windows[n, p, thetas[t, j]]
     gathered = jnp.take(windows, thetas, axis=2)  # [N, P, T, k]
     gathered = jnp.transpose(gathered, (2, 0, 1, 3))  # [T, N, P, k]
-    w1 = dict_size ** jnp.arange(k1, dtype=jnp.int32)
+    gathered = gathered - code_min
+    w1 = base ** jnp.arange(k1, dtype=jnp.int32)
     h1 = jnp.sum(gathered[..., :k1] * w1, axis=-1, dtype=jnp.int32)
     if k2 > 0:
-        w2 = dict_size ** jnp.arange(k2, dtype=jnp.int32)
+        w2 = base ** jnp.arange(k2, dtype=jnp.int32)
         h2 = jnp.sum(gathered[..., k1:] * w2, axis=-1, dtype=jnp.int32)
     else:
         h2 = jnp.zeros_like(h1)
@@ -123,7 +128,8 @@ def _counts_for_batch(
     thetas: jnp.ndarray,
     *,
     g: int,
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
     b1: int,
     b2: int,
@@ -152,7 +158,7 @@ def _counts_for_batch(
 
     def chunk_counts(args):
         w_chunk, v_chunk = args
-        h1, h2 = theta_hashes(w_chunk, thetas, dict_size, k1)
+        h1, h2 = theta_hashes(w_chunk, thetas, base, code_min, k1)
         return histogram_counts(h1, h2, v_chunk, b1, b2, count_dtype)
 
     counts = jax.lax.map(chunk_counts, (windows, valid_full))
@@ -166,7 +172,8 @@ def _counts_for_batch(
     jax.jit,
     static_argnames=(
         "g",
-        "dict_size",
+        "base",
+        "code_min",
         "k1",
         "b1",
         "b2",
@@ -182,7 +189,8 @@ def exact_batch_update(
     thetas: jnp.ndarray,  # [T, k]
     *,
     g: int,
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
     b1: int,
     b2: int,
@@ -196,7 +204,8 @@ def exact_batch_update(
         lengths,
         thetas,
         g=g,
-        dict_size=dict_size,
+        base=base,
+        code_min=code_min,
         k1=k1,
         b1=b1,
         b2=b2,
@@ -213,7 +222,8 @@ def exact_batch_update(
     jax.jit,
     static_argnames=(
         "g",
-        "dict_size",
+        "base",
+        "code_min",
         "k1",
         "b1",
         "b2",
@@ -231,7 +241,8 @@ def approx_batch_update(
     thetas: jnp.ndarray,  # [T, k]
     *,
     g: int,
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
     b1: int,
     b2: int,
@@ -265,7 +276,8 @@ def approx_batch_update(
         lengths,
         thetas,
         g=g,
-        dict_size=dict_size,
+        base=base,
+        code_min=code_min,
         k1=k1,
         b1=b1,
         b2=b2,

@@ -100,7 +100,8 @@ def pad_theta_batch(thetas: np.ndarray, n_theta: int):
     static_argnames=(
         "mesh",
         "g",
-        "dict_size",
+        "base",
+        "code_min",
         "k1",
         "b1",
         "b2",
@@ -118,7 +119,8 @@ def exact_batch_update_sharded(
     *,
     mesh: Mesh,
     g: int,
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
     b1: int,
     b2: int,
@@ -134,7 +136,8 @@ def exact_batch_update_sharded(
             len_l,
             th_l,
             g=g,
-            dict_size=dict_size,
+            base=base,
+            code_min=code_min,
             k1=k1,
             b1=b1,
             b2=b2,
@@ -170,7 +173,8 @@ def exact_batch_update_sharded(
     static_argnames=(
         "mesh",
         "g",
-        "dict_size",
+        "base",
+        "code_min",
         "k1",
         "b1",
         "b2",
@@ -189,7 +193,8 @@ def approx_batch_update_sharded(
     *,
     mesh: Mesh,
     g: int,
-    dict_size: int,
+    base: int,
+    code_min: int,
     k1: int,
     b1: int,
     b2: int,
@@ -221,7 +226,8 @@ def approx_batch_update_sharded(
             len_l,
             th,
             g=g,
-            dict_size=dict_size,
+            base=base,
+            code_min=code_min,
             k1=k1,
             b1=b1,
             b2=b2,

@@ -1,0 +1,76 @@
+"""The all-pairs exact engine must be bit-identical to the numpy oracle
+(and therefore to the theta engine) on every shape class."""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK, KernelConfig
+from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
+from fastsk_tpu.ops.encode import encode_sequences
+from fastsk_tpu.ops.pairs import binom_exact
+
+import oracle
+from conftest import random_ragged_seqs
+
+
+@pytest.mark.parametrize(
+    "g,m,n,lmin,lmax,alpha",
+    [
+        (6, 3, 9, 8, 20, 4),  # DNA-like
+        (5, 1, 7, 6, 14, 3),
+        (8, 4, 12, 10, 22, 4),
+        (4, 2, 5, 4, 9, 20),  # protein-sized alphabet
+        (6, 5, 8, 7, 15, 30),  # text-sized alphabet, k=1
+        (5, 0, 6, 6, 12, 4),  # m=0: exact-match kernel
+        (7, 3, 10, 7, 7, 4),  # every sequence exactly length g+... fixed
+    ],
+)
+def test_pairs_matches_oracle(rng, g, m, n, lmin, lmax, alpha):
+    X = random_ragged_seqs(rng, n, lmin, lmax, alphabet=alpha)
+    K_oracle = oracle.exact_counts(X, g, m)
+    eng = PairsGkmEngine(encode_sequences(X), g, m)
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_pairs_engine_with_duplicate_and_uniform_seqs(rng):
+    """Runs of identical windows (repetitive sequences) stress the counting."""
+    X = [[1] * 12, [1] * 12, [1, 2] * 6, rng.integers(1, 5, size=12).tolist()]
+    K_oracle = oracle.exact_counts(X, 5, 2)
+    eng = PairsGkmEngine(encode_sequences(X), 5, 2)
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_binom_exact_integer_table():
+    import math
+
+    import jax.numpy as jnp
+
+    for k in range(1, 11):
+        x = jnp.arange(0, 21, dtype=jnp.float32)
+        got = np.asarray(binom_exact(x, k))
+        want = np.array([math.comb(v, k) for v in range(21)], dtype=np.float64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_api_routes_exact_to_pairs_engine(rng):
+    X = random_ragged_seqs(rng, 10, 9, 16, alphabet=4)
+    auto = FastSK(g=6, m=2)
+    auto.compute_train(X)
+    theta = FastSK(g=6, m=2, config=KernelConfig(exact_engine="theta"))
+    theta.compute_train(X)
+    forced = FastSK(g=6, m=2, config=KernelConfig(exact_engine="pairs"))
+    forced.compute_train(X)
+    np.testing.assert_array_equal(auto.kernel_counts, theta.kernel_counts)
+    np.testing.assert_array_equal(auto.kernel_counts, forced.kernel_counts)
+
+
+def test_int32_bound_guard():
+    """Shapes whose worst-case per-pair count exceeds int32 must be refused
+    by the pairs engine and auto-fall back to the theta engine."""
+    X = [[1, 2, 3, 4] * 200 for _ in range(3)]  # len 800 -> huge p_pad
+    enc = encode_sequences(X)
+    with pytest.raises(ValueError):
+        PairsGkmEngine(enc, 16, 10)  # C(16,6) * p_pad^2 >> 2^31
+    fsk = FastSK(g=16, m=10)
+    engine = fsk._make_exact_engine(enc)
+    assert type(engine).__name__ == "DenseGkmEngine"

@@ -47,4 +47,8 @@ class KernelConfig:
     # int32 count bound rules it out; "pairs" / "theta" force one.
     exact_engine: str = "auto"
 
+    # All-pairs backend: "auto" uses the fused Pallas kernel on TPU and the
+    # blocked XLA path elsewhere; "pallas" / "xla" force one.
+    pairs_backend: str = "auto"
+
     quiet: bool = True

@@ -60,16 +60,33 @@ class PairsGkmEngine:
                 f"(p_pad={self.p_pad}, C(g,k)={math.comb(g, self.k)})"
             )
 
-        # strip sizing: i strips ~TARGET_RI window rows, j strips 8x wider;
-        # prefer multiples that keep the D-tile lane dim 128-aligned
-        align = 128 // math.gcd(self.p_pad, 128)
-        target_ri = 2048
-        c_i = max(1, target_ri // self.p_pad)
-        if c_i >= align:
-            c_i -= c_i % align
-        self.c_i = c_i
-        self.c_j = c_i * 8
-        self.n_pad = _next_multiple(self.n, self.c_j)
+        # backend: the fused Pallas kernel on TPU (VMEM-resident D tiles),
+        # the blocked XLA path elsewhere / for huge windows-per-sequence
+        backend = self.config.pairs_backend
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and self.p_pad <= 256
+                else "xla"
+            )
+        self.backend = backend
+
+        if backend == "pallas":
+            # i tiles ~768 window rows; j spans 128 sequences so the output
+            # block is lane-aligned (the kernel chunks D internally)
+            self.c_i = max(1, 768 // self.p_pad)
+            self.c_j = 128
+            self.n_pad = _next_multiple(self.n, self.c_j)
+        else:
+            # strip sizing: i strips ~2048 window rows, j strips 8x wider;
+            # prefer multiples that keep the D-tile lane dim 128-aligned
+            align = 128 // math.gcd(self.p_pad, 128)
+            c_i = max(1, 2048 // self.p_pad)
+            if c_i >= align:
+                c_i -= c_i % align
+            self.c_i = c_i
+            self.c_j = c_i * 8
+            self.n_pad = _next_multiple(self.n, self.c_j)
         self.n_strips_i = self.n_pad // self.c_i
         self.n_strips_j = self.n_pad // self.c_j
 
@@ -99,6 +116,37 @@ class PairsGkmEngine:
     def exact(self) -> np.ndarray:
         """Exact unnormalized kernel, int64 [N, N] — all C(g, m) subsets."""
         x = self._build_x()
+        if self.backend == "pallas":
+            upper = self._exact_pallas(x)
+        else:
+            upper = self._exact_xla(x)
+        upper = upper[: self.n, : self.n]
+        # both paths computed the (block) upper triangle; mirror it
+        out = np.triu(upper)
+        out = out + np.triu(upper, 1).T
+        return out
+
+    def _exact_pallas(self, x, interpret: bool = False) -> np.ndarray:
+        from ..ops import pairs_pallas
+
+        blocks = pairs_pallas.pairs_kernel_blocks(
+            x,
+            g=self.g,
+            k=self.k,
+            p_pad=self.p_pad,
+            c_ti=self.c_i,
+            c_tj=self.c_j,
+            interpret=interpret,
+        )
+        n_i, n_j, c_ti, c_tj = blocks.shape
+        k_full = (
+            np.asarray(blocks, dtype=np.int64)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_i * c_ti, n_j * c_tj)
+        )
+        return k_full
+
+    def _exact_xla(self, x) -> np.ndarray:
         k_acc = jnp.zeros((self.n_pad, self.n_pad), dtype=jnp.int32)
         if self.config.device is not None:
             k_acc = jax.device_put(k_acc, self.config.device)
@@ -113,8 +161,4 @@ class PairsGkmEngine:
                 p_pad=self.p_pad,
                 n_strips_j=self.n_strips_j,
             )
-        upper = np.asarray(k_acc, dtype=np.int64)[: self.n, : self.n]
-        # strips computed the (block) upper triangle; mirror it
-        out = np.triu(upper)
-        out = out + np.triu(upper, 1).T
-        return out
+        return np.asarray(k_acc, dtype=np.int64)

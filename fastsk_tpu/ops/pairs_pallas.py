@@ -1,0 +1,174 @@
+"""Pallas TPU kernel for the all-pairs gkm pipeline (ops/pairs.py).
+
+Fuses the three stages — match-count matmul ``D = X_i X_j^T``, the exact
+binomial weight ``C(D, k)``, and the window->sequence reduction — inside
+VMEM, flash-attention style. The XLA version materializes every [TI, TJ]
+D tile (and its weights) in HBM; here only the one-hot window encodings
+stream in and a tiny [c_ti, c_tj] int32 partial-kernel block goes out, so
+HBM traffic drops by ~p_pad^2 / 1 and the MXU stays busy.
+
+Weight evaluation: the falling factorial d(d-1)...(d-k+1) is computed with
+balanced factor pairing — (d-i)(d-(k-1-i)) = t + i(k-1-i) with
+t = d^2 - (k-1)d — so it costs ~k/2 multiplies and stays an exact f32
+integer whenever g!/(g-k)! < 2^24; one final division by k! (whose true
+quotient is the integer C(d, k)) is exact in f32. Larger (g, k) shapes
+use the stepwise division form (binom_exact in ops/pairs.py), exact for
+every g <= 20.
+
+Exactness of the reductions: weights <= C(20,10) < 2^24 (f32 integers);
+the q-axis partial sums stay <= p_pad * C(g,k) < 2^24 (guarded by the
+engine); the final p-axis sums run in int32.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def ffact_pairing(d: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Falling factorial d(d-1)...(d-k+1) with balanced factor pairing."""
+    if k == 1:
+        return d
+    t = d * (d - float(k - 1))
+    prod = t
+    for i in range(1, k // 2):
+        prod = prod * (t + float(i * (k - 1 - i)))
+    if k % 2:
+        prod = prod * (d - float((k - 1) // 2))
+    return prod
+
+
+def binom_weight(d: jnp.ndarray, g: int, k: int) -> jnp.ndarray:
+    """Exact C(d, k) for integer-valued f32 d in [0, g].
+
+    The divide-by-k! is a round-multiply: the true quotient is an integer
+    <= C(20, 10) < 2^18 and the reciprocal-multiply error is ~1e-7
+    relative, far below 1/2, so rounding recovers it exactly — and a
+    multiply+round is several times cheaper than an f32 divide on the VPU.
+    """
+    if math.factorial(g) // math.factorial(g - k) < (1 << 24):
+        w = ffact_pairing(d, k) * (1.0 / float(math.factorial(k)))
+        return jnp.round(w)
+    from .pairs import binom_exact
+
+    return binom_exact(d, k)
+
+
+def _pairs_kernel(
+    xi_ref,  # [TI, F] bf16
+    xj_ref,  # [TJ, F] bf16
+    out_ref,  # [1, 1, c_ti, c_tj] int32
+    s1_ref,  # [c_ti, TJ] f32 scratch
+    *,
+    g: int,
+    k: int,
+    p_pad: int,
+    c_ti: int,
+    c_tj: int,
+    n_chunks: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti = c_ti * p_pad
+    tj = c_tj * p_pad
+    chunk = tj // n_chunks
+    # skip tiles strictly below the window-space diagonal (mirrored later)
+    live = (j + 1) * tj > i * ti
+
+    @pl.when(live)
+    def _():
+        xi = xi_ref[:]
+        # inner loop over q chunks keeps the D tile bounded in VMEM while
+        # the program covers a wide (lane-aligned) span of j sequences
+        for c in range(n_chunks):
+            d = jax.lax.dot_general(
+                xi,
+                xj_ref[c * chunk : (c + 1) * chunk, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TI, chunk] — match counts, exact small integers
+            w = binom_weight(d, g, k)
+            # windows -> sequences, stage 1: sum over the p axis (sublane-
+            # group reshape-sum — exact f32: <= p_pad * C(g,k) < 2^24,
+            # engine-guarded)
+            s1_ref[:, c * chunk : (c + 1) * chunk] = jnp.sum(
+                w.reshape(c_ti, p_pad, chunk), axis=1
+            )
+        # stage 2: sum over the q axis in int32 (can exceed 2^24); the
+        # transpose keeps the group reshape on the sublane dim
+        s1t = s1_ref[:].astype(jnp.int32).T  # [tj, c_ti]
+        out = jnp.sum(s1t.reshape(c_tj, p_pad, c_ti), axis=1)  # [c_tj, c_ti]
+        out_ref[0, 0] = out.T
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[0, 0] = jnp.zeros((c_ti, c_tj), jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "k", "p_pad", "c_ti", "c_tj", "interpret"),
+)
+def pairs_kernel_blocks(
+    x: jnp.ndarray,  # [n_rows, F] bf16, n_rows = n_pad * p_pad
+    *,
+    g: int,
+    k: int,
+    p_pad: int,
+    c_ti: int,
+    c_tj: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Upper-triangular partial kernel blocks ``[n_i, n_j, c_ti, c_tj]``.
+
+    Caller assembles: transpose(0,2,1,3).reshape(n_pad, n_pad), then
+    triu + mirror.
+    """
+    n_rows, f = x.shape
+    ti = c_ti * p_pad
+    tj = c_tj * p_pad
+    assert n_rows % ti == 0 and n_rows % tj == 0, (n_rows, ti, tj)
+    n_i = n_rows // ti
+    n_j = n_rows // tj
+
+    # D chunk tile <= ~5 MB f32: chunk the q axis inside the kernel
+    n_chunks = 1
+    while ti * (tj // n_chunks) * 4 > 5 * 2**20:
+        n_chunks *= 2
+    while tj % n_chunks:
+        n_chunks //= 2
+
+    grid = (n_i, n_j)
+    kernel = functools.partial(
+        _pairs_kernel,
+        g=g,
+        k=k,
+        p_pad=p_pad,
+        c_ti=c_ti,
+        c_tj=c_tj,
+        n_chunks=n_chunks,
+    )
+    flops = 2 * n_rows * n_rows * f // 2  # triangular
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ti, f), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, f), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, c_ti, c_tj), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_i, n_j, c_ti, c_tj), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((c_ti, tj), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * n_rows * f * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, x)

@@ -74,3 +74,18 @@ def test_int32_bound_guard():
     fsk = FastSK(g=16, m=10)
     engine = fsk._make_exact_engine(enc)
     assert type(engine).__name__ == "DenseGkmEngine"
+
+
+def test_pallas_kernel_interpret_matches_oracle(rng):
+    """The fused Pallas kernel (interpret mode on CPU) must equal the oracle."""
+    from fastsk_tpu.kernel.config import KernelConfig
+
+    X = random_ragged_seqs(rng, 11, 9, 18, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 6, 3, KernelConfig(pairs_backend="pallas")
+    )
+    x = eng._build_x()
+    upper = eng._exact_pallas(x, interpret=True)[: eng.n, : eng.n]
+    K_p = np.triu(upper) + np.triu(upper, 1).T
+    np.testing.assert_array_equal(K_o, K_p)

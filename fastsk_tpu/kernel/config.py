@@ -51,4 +51,7 @@ class KernelConfig:
     # blocked XLA path elsewhere; "pallas" / "xla" force one.
     pairs_backend: str = "auto"
 
+    # Sorted/rank engine: pairs per count-matmul slab.
+    sorted_slab: int = 8192
+
     quiet: bool = True

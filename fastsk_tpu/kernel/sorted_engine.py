@@ -1,24 +1,203 @@
-"""Sorted/rank-based engine for huge bucket spaces (placeholder).
+"""Sorted/rank engine for huge k-mer spaces (large-alphabet protein/text).
 
-When ``dict_size ** k`` is too large to materialize densely (large-alphabet
-protein/text workloads at big k), the observed projected k-mers are ranked by
-an on-device sort and the count matmul runs over rank chunks. Implementation
-lands after the dense path; the class exists so the API's path selection is
-stable.
+When ``base**k`` is too large to histogram densely (DenseGkmEngine) and the
+all-pairs engine's int32 bound is exceeded, each counting pass runs the
+sort/rank pipeline of ops/sorted_theta.py — the TPU equivalent of the
+reference's LSD counting sort + run walk (shared.cpp:156-333), with the
+per-run outer products becoming slab-blocked count-matmuls.
+
+Same driver semantics as DenseGkmEngine: ``exact()`` enumerates all
+C(g, m) subsets with device int32 accumulation and host int64 spill;
+``approx()`` samples a seeded shuffled stream with the reference's Welford
+convergence rule (fastsk_kernel.cpp:108-143, 243-262), one theta at a time
+(the sort pipeline is the per-iteration unit of work).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
+import math
+from typing import List, Optional
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.combinatorics import enumerate_combinations
 from ..ops.encode import EncodedSeqs
+from ..ops.sorted_theta import hash_plan, sorted_theta_pass
 from .config import KernelConfig
+from .engine import ApproxResult
+
+
+@functools.partial(jax.jit, static_argnames=("n_train",))
+def _welford_step(state, ks_int, *, n_train, conv_delta, max_iters):
+    """One Monte-Carlo iteration of the reference convergence rule."""
+    k_sum, mean, it, done = state
+    ks = ks_int.astype(jnp.float32)
+    it_new = it + 1
+    new_sum = k_sum + ks_int
+
+    delta = ks - mean
+    new_mean = mean + delta / it_new.astype(jnp.float32)
+    delta2 = ks - new_mean
+    prod = (delta * delta2)[:n_train, :n_train]
+    tri_count = n_train * (n_train + 1) / 2.0
+    tri_sum = (jnp.sum(prod) + jnp.sum(jnp.diagonal(prod))) / 2.0
+    avg_var = tri_sum / tri_count
+    avg_var = jnp.where(it_new == 1, 9999999.0, avg_var / jnp.maximum(it_new - 1, 1))
+    sd = jnp.sqrt(avg_var / it_new)
+    converged = conv_delta / sd > 1.96
+    hit_max = (max_iters != -1) & (it_new >= max_iters)
+    new_done = done | converged | hit_max
+
+    k_sum = jnp.where(done, k_sum, new_sum)
+    mean = jnp.where(done, mean, new_mean)
+    it = jnp.where(done, it, it_new)
+    sd = jnp.where(done, jnp.float32(jnp.nan), sd)
+    return (k_sum, mean, it, new_done), sd
 
 
 class SortedGkmEngine:
-    def __init__(self, enc: EncodedSeqs, g: int, m: int, config: Optional[KernelConfig] = None):
-        raise NotImplementedError(
-            f"bucket space dict_size**k = {enc.dict_size ** (g - m)} exceeds "
-            "the dense limit and the sorted path is not implemented yet; "
-            "raise KernelConfig.b_max_dense if memory allows"
+    def __init__(
+        self,
+        enc: EncodedSeqs,
+        g: int,
+        m: int,
+        config: Optional[KernelConfig] = None,
+    ):
+        self.enc = enc
+        self.g = g
+        self.m = m
+        self.k = g - m
+        self.config = config or KernelConfig()
+        self.base = enc.hash_base
+        self.code_min = enc.code_min
+        self.n = enc.n
+        self.p = enc.max_len - g + 1
+        self.p_max = int(enc.num_windows(g).max())
+        if self.p_max >= 4096:
+            raise ValueError(
+                f"sorted engine requires < 4096 windows per sequence "
+                f"(got {self.p_max}): per-pass f32 products would exceed 2^24"
+            )
+        self.dpw, self.n_words = hash_plan(self.base, self.k)
+        self.slab = self.config.sorted_slab
+
+        # flattened window table (the reference's feature table,
+        # shared.cpp:17-91, kept dense with a validity mask)
+        ids = np.asarray(enc.ids)
+        n, length = ids.shape
+        windows = np.lib.stride_tricks.sliding_window_view(ids, self.g, axis=1)
+        windows = windows.reshape(n * self.p, self.g).astype(np.int32)
+        pos = np.arange(self.p, dtype=np.int32)
+        valid = (pos[None, :] <= (enc.lengths[:, None] - self.g)).reshape(-1)
+        seq_of = np.repeat(np.arange(n, dtype=np.int32), self.p)
+
+        dev = self.config.device
+        self._windows = jax.device_put(jnp.asarray(windows), dev)
+        self._valid = jax.device_put(jnp.asarray(valid), dev)
+        self._seq_of = jax.device_put(jnp.asarray(seq_of), dev)
+
+        # per-pass kernel entries are bounded by p_i * p_j <= p_max^2
+        self.spill_every = max(1, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2)
+
+    def _pass(self, theta: np.ndarray) -> jnp.ndarray:
+        return sorted_theta_pass(
+            self._windows,
+            self._valid,
+            self._seq_of,
+            jnp.asarray(theta, dtype=jnp.int32),
+            g=self.g,
+            base=self.base,
+            code_min=self.code_min,
+            n=self.n,
+            p=self.p,
+            slab=self.slab,
+            dpw=self.dpw,
+            n_words=self.n_words,
+            count_split=self.p_max > 255,
+        )
+
+    # ------------------------------------------------------------- exact
+
+    def exact(self) -> np.ndarray:
+        thetas = enumerate_combinations(self.g, self.k)
+        host = np.zeros((self.n, self.n), dtype=np.int64)
+        k_acc = jnp.zeros((self.n, self.n), jnp.int32)
+        since = 0
+        for theta in thetas:
+            k_acc = k_acc + self._pass(theta)
+            since += 1
+            if since >= self.spill_every:
+                host += np.asarray(k_acc, dtype=np.int64)
+                k_acc = jnp.zeros_like(k_acc)
+                since = 0
+        host += np.asarray(k_acc, dtype=np.int64)
+        return host
+
+    # ------------------------------------------------------------- approx
+
+    def approx(
+        self,
+        conv_delta: float = 0.025,
+        max_iters: int = -1,
+        skip_variance: bool = False,
+        seed: int = 0,
+    ) -> ApproxResult:
+        rng = np.random.default_rng(seed)
+        all_thetas = enumerate_combinations(self.g, self.k)
+        stream = all_thetas[rng.permutation(len(all_thetas))]
+        total = len(stream)
+
+        if skip_variance:
+            limit = total if max_iters == -1 else min(max_iters, total)
+            host = np.zeros((self.n, self.n), dtype=np.int64)
+            k_acc = jnp.zeros((self.n, self.n), jnp.int32)
+            since = 0
+            for theta in stream[:limit]:
+                k_acc = k_acc + self._pass(theta)
+                since += 1
+                if since >= self.spill_every:
+                    host += np.asarray(k_acc, dtype=np.int64)
+                    k_acc = jnp.zeros_like(k_acc)
+                    since = 0
+            host += np.asarray(k_acc, dtype=np.int64)
+            return ApproxResult(counts=host, iters=limit, stdevs=[], converged=False)
+
+        n = self.n
+        state = (
+            jnp.zeros((n, n), jnp.int32),
+            jnp.zeros((n, n), jnp.float32),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+        sd_buf: List[jnp.ndarray] = []
+        # sync the done flag to the host only every few iterations: overshot
+        # passes are no-ops under the done mask, and host round trips (slow
+        # over a remote device link) drop ~8x
+        sync_every = 8
+        for start in range(0, total, sync_every):
+            for theta in stream[start : start + sync_every]:
+                ks = self._pass(theta)
+                state, sd = _welford_step(
+                    state,
+                    ks,
+                    n_train=self.enc.n_train,
+                    conv_delta=conv_delta,
+                    max_iters=max_iters,
+                )
+                sd_buf.append(sd)
+            if bool(state[3]):
+                break
+        stdevs = [
+            float(s) for s in np.asarray(sd_buf) if not math.isnan(float(s))
+        ]
+        it_done = int(state[2])
+        counts = np.asarray(state[0], dtype=np.int64)
+        return ApproxResult(
+            counts=counts,
+            iters=it_done,
+            stdevs=stdevs,
+            converged=bool(state[3]),
         )

@@ -1,0 +1,236 @@
+"""Sort/rank path for one counting pass over a huge k-mer space.
+
+The dense engine (ops/gkm.py) materializes per-sequence histograms over all
+``base**k`` buckets — impossible for protein/text alphabets at large k
+(20^7 > 1e9). This module computes one theta pass the way the reference's
+LSD counting sort does (shared.cpp:156-191) but TPU-shaped:
+
+1. hash every window's projected k-mer into one or more 31-bit words
+   (lexicographic order preserved),
+2. one device sort groups equal k-mers (runs) and, within runs, equal
+   sequences (pairs),
+3. scatter-free compaction — a second sort on ``position + BIG*(1-flag)``
+   moves run/pair starts to a prefix while preserving order — yields the
+   (rank, seq, count) triples,
+4. singleton runs (one sequence holds the k-mer) contribute only to the
+   kernel diagonal via a segment sum; multi-sequence runs go through
+   slab-blocked count-matmuls ``C_s @ C_s^T`` with exact cross-slab
+   corrections for runs straddling a slab boundary (a run has at most N
+   pairs, so a +-N window around each boundary bounds the straddler).
+
+Counts are exact integers end to end; the f32 matmuls stay below 2^24
+because per-theta per-pair products are bounded by P_i * P_j.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.int32(1 << 30)
+SENTINEL = jnp.int32(2**31 - 1)
+
+
+def hash_plan(base: int, k: int) -> Tuple[int, int]:
+    """(digits_per_word, n_words) so each word stays below 2^31."""
+    dpw = max(1, int(math.floor(31 / math.log2(max(base, 2)))))
+    dpw = min(dpw, k)
+    n_words = -(-k // dpw)
+    return dpw, n_words
+
+
+def _compact_by_flag(flag: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...]):
+    """Stable-move entries where ``flag`` is True to the front.
+
+    Returns the sorted payloads plus the original position of each entry.
+    Scatter-free: sorts on ``position + BIG * (1 - flag)``.
+    """
+    n = flag.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = pos + jnp.where(flag, 0, BIG)
+    out = jax.lax.sort((key,) + tuple(payloads) + (pos,), num_keys=1)
+    return out[1:-1], out[-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g",
+        "base",
+        "code_min",
+        "n",
+        "p",
+        "slab",
+        "dpw",
+        "n_words",
+        "count_split",
+    ),
+)
+def sorted_theta_pass(
+    windows: jnp.ndarray,  # [N * P, g] int32 (invalid rows: any content)
+    valid: jnp.ndarray,  # [N * P] bool
+    seq_of: jnp.ndarray,  # [N * P] int32
+    theta: jnp.ndarray,  # [k] int32
+    *,
+    g: int,
+    base: int,
+    code_min: int,
+    n: int,
+    p: int,
+    slab: int,
+    dpw: int,
+    n_words: int,
+    count_split: bool,
+) -> jnp.ndarray:
+    """One exact counting pass K_theta [n, n] int32 over subset ``theta``."""
+    nfeat = windows.shape[0]
+    k = theta.shape[0]
+
+    # ---- multi-word lexicographic hash of the projected k-mer
+    proj = jnp.take(windows, theta, axis=1) - code_min  # [nfeat, k]
+    words = []
+    for w in range(n_words):
+        lo = w * dpw
+        hi = min(lo + dpw, k)
+        weights = base ** jnp.arange(hi - lo - 1, -1, -1, dtype=jnp.int32)
+        word = jnp.sum(proj[:, lo:hi] * weights, axis=1, dtype=jnp.int32)
+        words.append(jnp.where(valid, word, SENTINEL))
+
+    # ---- sort by (words..., seq): runs group, pairs group within runs
+    sorted_ops = jax.lax.sort(
+        tuple(words) + (seq_of,), num_keys=n_words + 1
+    )
+    swords = sorted_ops[:-1]
+    sseq = sorted_ops[-1]
+    svalid = swords[0] != SENTINEL
+
+    def diff_prev(x):
+        return jnp.concatenate([jnp.ones((1,), jnp.bool_), x[1:] != x[:-1]])
+
+    new_run = jnp.zeros(nfeat, jnp.bool_)
+    for w in swords:
+        new_run = new_run | diff_prev(w)
+    new_pair = new_run | diff_prev(sseq)
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+
+    # ---- compact pair starts (prefix, original order preserved)
+    (pair_seq, pair_run, pair_valid_w0), pair_pos = _compact_by_flag(
+        new_pair, (sseq, run_id, swords[0])
+    )
+    m_all = jnp.sum(new_pair.astype(jnp.int32))  # pair starts, incl. invalid
+    m_valid = jnp.sum((new_pair & svalid).astype(jnp.int32))
+    arange_f = jnp.arange(nfeat, dtype=jnp.int32)
+    # beyond the compacted prefix sit non-start windows — not pairs at all
+    pair_valid = (pair_valid_w0 != SENTINEL) & (arange_f < m_all)
+    # beyond the pair prefix the "positions" are garbage (non-start entries)
+    next_pos = jnp.where(
+        arange_f + 1 < m_all,
+        jnp.concatenate([pair_pos[1:], jnp.zeros((1,), jnp.int32)]),
+        nfeat,
+    )
+    pair_count = jnp.where(pair_valid, next_pos - pair_pos, 0)
+
+    # ---- per-pair run size (pairs of a run are contiguous in pair space)
+    new_runpair = diff_prev(pair_run) & pair_valid
+    n_runs = jnp.sum(new_runpair.astype(jnp.int32))
+    (_,), runstart_pidx = _compact_by_flag(new_runpair, (pair_run,))
+    next_rp = jnp.where(
+        arange_f + 1 < n_runs,
+        jnp.concatenate([runstart_pidx[1:], jnp.zeros((1,), jnp.int32)]),
+        m_valid,
+    )
+    run_sizes = next_rp - runstart_pidx  # [R...] pairs per run, prefix-valid
+    size_of_pair = jnp.take(
+        run_sizes, jnp.clip(pair_run, 0, nfeat - 1), mode="clip"
+    )
+    single = pair_valid & (size_of_pair == 1)
+    multi = pair_valid & (size_of_pair >= 2)
+
+    # ---- diagonal: singleton runs only touch K[s, s]
+    diag = jax.ops.segment_sum(
+        jnp.where(single, pair_count * pair_count, 0),
+        pair_seq,
+        num_segments=n,
+        indices_are_sorted=False,
+    )
+    k_acc = jnp.zeros((n, n), jnp.int32)
+    k_acc = k_acc + jnp.diag(diag)
+
+    # ---- compact multi pairs, re-rank densely
+    (mseq, mrun, mcount), _ = _compact_by_flag(
+        multi, (pair_seq, pair_run, pair_count)
+    )
+    m2 = jnp.sum(multi.astype(jnp.int32))
+    new_mrun = diff_prev(mrun)
+    mrank = jnp.cumsum(new_mrun.astype(jnp.int32)) - 1
+
+    n_slabs = jnp.maximum((m2 + slab - 1) // slab, 0)
+    idx_all = jnp.arange(slab, dtype=jnp.int32)
+    n_win = ((n + 127) // 128) * 128  # boundary gather window, >= max run pairs
+
+    def slab_body(s, k_acc):
+        s0 = s * slab
+        idx = s0 + idx_all
+        live = idx < m2
+        seqs = jnp.take(mseq, idx, mode="clip")
+        ranks = jnp.take(mrank, idx, mode="clip")
+        cnts = jnp.where(live, jnp.take(mcount, idx, mode="clip"), 0)
+        base_rank = jnp.take(mrank, s0, mode="clip")
+        lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
+
+        c_s = jnp.zeros((n, slab), jnp.float32)
+        c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
+        if count_split:
+            # counts can exceed bf16-exact range: split into 8-bit digits
+            hi = jnp.floor(c_s * (1.0 / 256.0))
+            lo = c_s - hi * 256.0
+            hi16, lo16 = hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+            hh = jnp.matmul(hi16, hi16.T, preferred_element_type=jnp.float32)
+            hl = jnp.matmul(hi16, lo16.T, preferred_element_type=jnp.float32)
+            lh = jnp.matmul(lo16, hi16.T, preferred_element_type=jnp.float32)
+            ll = jnp.matmul(lo16, lo16.T, preferred_element_type=jnp.float32)
+            ks = (
+                hh.astype(jnp.int32) * 65536
+                + (hl + lh).astype(jnp.int32) * 256
+                + ll.astype(jnp.int32)
+            )
+        else:
+            cb = c_s.astype(jnp.bfloat16)
+            ks = jnp.matmul(
+                cb, cb.T, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+        k_acc = k_acc + ks
+
+        # cross-slab correction: the run containing pair s0 may straddle
+        # the boundary; its (<= n) pairs live within +-n_win of s0
+        straddle = (s > 0) & (
+            jnp.take(mrank, s0, mode="clip")
+            == jnp.take(mrank, jnp.maximum(s0 - 1, 0), mode="clip")
+        ) & (s0 < m2)
+        widx = jnp.arange(2 * n_win, dtype=jnp.int32) + s0 - n_win
+        wlive = (widx >= 0) & (widx < m2)
+        wrank = jnp.take(mrank, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+        wseq = jnp.take(mseq, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+        wcnt = jnp.take(mcount, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+        # A = the run's full prefix (earlier slabs); B = its part in THIS
+        # slab only — summing A_b * B_b over boundaries yields each
+        # cross-slab product exactly once even for runs spanning 3+ slabs
+        in_run = wlive & (wrank == base_rank) & straddle
+        a_mask = in_run & (widx < s0)
+        b_mask = in_run & (widx >= s0) & (widx < s0 + slab)
+        a_vec = jnp.zeros((n,), jnp.float32).at[wseq].add(
+            jnp.where(a_mask, wcnt, 0).astype(jnp.float32)
+        )
+        b_vec = jnp.zeros((n,), jnp.float32).at[wseq].add(
+            jnp.where(b_mask, wcnt, 0).astype(jnp.float32)
+        )
+        cross = a_vec[:, None] * b_vec[None, :]
+        k_acc = k_acc + (cross + cross.T).astype(jnp.int32)
+        return k_acc
+
+    return jax.lax.fori_loop(0, n_slabs, slab_body, k_acc)

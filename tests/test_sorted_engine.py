@@ -1,0 +1,87 @@
+"""Sorted/rank engine vs the numpy oracle — exact integer equality."""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK, KernelConfig
+from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
+from fastsk_tpu.ops.encode import encode_sequences
+
+import oracle
+from conftest import random_ragged_seqs
+
+
+@pytest.mark.parametrize(
+    "g,m,n,lmin,lmax,alpha,slab",
+    [
+        (6, 3, 9, 8, 20, 4, 64),  # tiny slab: exercises many boundaries
+        (6, 3, 9, 8, 20, 4, 8192),  # one slab
+        (8, 2, 10, 9, 24, 25, 128),  # protein-sized alphabet, k=6
+        (5, 2, 7, 6, 14, 30, 64),  # text-sized alphabet
+        (7, 3, 12, 8, 18, 4, 32),  # slab smaller than runs stress
+    ],
+)
+def test_sorted_exact_matches_oracle(rng, g, m, n, lmin, lmax, alpha, slab):
+    X = random_ragged_seqs(rng, n, lmin, lmax, alphabet=alpha)
+    K_oracle = oracle.exact_counts(X, g, m)
+    eng = SortedGkmEngine(
+        encode_sequences(X), g, m, KernelConfig(sorted_slab=slab)
+    )
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_sorted_exact_heavy_runs(rng):
+    """Identical/repetitive sequences create runs with many pairs that
+    straddle slab boundaries — the cross-slab correction must be exact."""
+    X = [[1] * 14, [1] * 14, [1] * 12, [1, 2] * 7, [2, 1] * 7]
+    X += random_ragged_seqs(rng, 5, 10, 14, alphabet=2)
+    K_oracle = oracle.exact_counts(X, 4, 2)
+    eng = SortedGkmEngine(encode_sequences(X), 4, 2, KernelConfig(sorted_slab=4))
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_sorted_multiword_hash(rng):
+    """k * log2(base) > 31 forces multi-word lexicographic keys."""
+    X = random_ragged_seqs(rng, 8, 16, 24, alphabet=30)
+    K_oracle = oracle.exact_counts(X, 14, 4)  # k=10, 30^10 >> 2^31
+    eng = SortedGkmEngine(encode_sequences(X), 14, 4, KernelConfig())
+    assert eng.n_words >= 2
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_sorted_approx_counts_match_explicit_thetas(rng):
+    """skip_variance approx over a seeded stream must equal the oracle's
+    sum over the same explicit subsets."""
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+
+    X = random_ragged_seqs(rng, 8, 10, 16, alphabet=20)
+    g, m, seed, iters = 7, 3, 11, 9
+    eng = SortedGkmEngine(encode_sequences(X), g, m, KernelConfig(sorted_slab=64))
+    res = eng.approx(max_iters=iters, skip_variance=True, seed=seed)
+    stream_rng = np.random.default_rng(seed)
+    all_thetas = enumerate_combinations(g, g - m)
+    stream = all_thetas[stream_rng.permutation(len(all_thetas))][:iters]
+    K_expected = oracle.counts_for_thetas(X, g, stream)
+    np.testing.assert_array_equal(K_expected, res.counts)
+
+
+def test_sorted_approx_welford_semantics(rng):
+    # small alphabet so sequences share k-mers and the variance is nonzero
+    X = random_ragged_seqs(rng, 10, 14, 20, alphabet=3)
+    eng = SortedGkmEngine(encode_sequences(X), 8, 4, KernelConfig())
+    res = eng.approx(max_iters=6, seed=3)
+    assert res.iters == 6
+    assert len(res.stdevs) == 6
+    assert res.stdevs[0] == pytest.approx(np.sqrt(9999999), rel=1e-5)
+
+
+def test_api_routes_big_alphabet_to_sorted(rng):
+    """Large base**k goes to the sorted engine and still matches the oracle
+    through the public API (approx skip_variance full enumeration)."""
+    X = random_ragged_seqs(rng, 7, 9, 14, alphabet=28)
+    fsk = FastSK(g=6, m=2)  # k=4: 28^4 = 614k > default dense limit
+    engine = fsk._make_engine(encode_sequences(X))
+    assert type(engine).__name__ == "SortedGkmEngine"
+    fsk.compute_train(X)
+    K_oracle = oracle.exact_counts(X, 6, 2)
+    np.testing.assert_array_equal(K_oracle, fsk.kernel_counts)

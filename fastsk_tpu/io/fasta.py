@@ -144,3 +144,22 @@ def dict_size_for(Xs: Sequence[Sequence[Sequence[int]]]) -> int:
         for seq in X:
             codes.update(int(c) for c in seq)
     return len(codes)
+
+
+def load_kernel(kernel_file: str) -> "np.ndarray":
+    """Read a kernel saved in the reference text format
+    (``col:value`` pairs per row, 1-indexed — fastsk.cpp:223-237)."""
+    import numpy as np
+
+    rows = []
+    with open(kernel_file) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            row = np.zeros(len(toks))
+            for tok in toks:
+                col, val = tok.split(":")
+                row[int(col) - 1] = float(val)
+            rows.append(row)
+    return np.asarray(rows)

@@ -54,4 +54,10 @@ class KernelConfig:
     # Sorted/rank engine: pairs per count-matmul slab.
     sorted_slab: int = 8192
 
+    # Mid-computation checkpointing (utils/checkpoint.py): persist the
+    # accumulator + work-queue cursor every `checkpoint_every` thetas so a
+    # long exact/approx run can resume after interruption.
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 512
+
     quiet: bool = True

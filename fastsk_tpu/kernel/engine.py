@@ -140,6 +140,18 @@ class DenseGkmEngine:
 
     # ---------------------------------------------------------- exact
 
+    def _checkpoint(self, tag: str):
+        """Optional KernelCheckpoint for this problem (None if disabled)."""
+        if self.config.checkpoint_path is None:
+            return None
+        from ..utils.checkpoint import KernelCheckpoint, problem_digest
+
+        digest = problem_digest(
+            np.asarray(self.enc.ids), np.asarray(self.enc.lengths),
+            self.g, self.m, extra=tag,
+        )
+        return KernelCheckpoint(self.config.checkpoint_path, digest)
+
     def _sum_thetas(self, thetas: np.ndarray) -> np.ndarray:
         """Exact integer sum of K_theta over an explicit theta list."""
         if self.mesh is not None:
@@ -151,9 +163,14 @@ class DenseGkmEngine:
             k_acc = jax.device_put(k_acc, self.config.device)
         kwargs = self._static_kwargs()
 
+        ckpt = self._checkpoint(f"sum:{len(thetas)}")
+        since_ckpt = 0
         since_spill = 0
         i = 0
         total = len(thetas)
+        if ckpt is not None and (saved := ckpt.load()) is not None:
+            host_acc = saved["host_acc"].copy()
+            i = int(saved["next_theta"])
         while i < total:
             t = min(self.theta_batch, total - i)
             batch = jnp.asarray(thetas[i : i + t], dtype=jnp.int32)
@@ -162,10 +179,17 @@ class DenseGkmEngine:
             )
             i += t
             since_spill += t
+            since_ckpt += t
             if since_spill >= self.spill_every_thetas:
                 host_acc += np.asarray(k_acc, dtype=np.int64)
                 k_acc = jnp.zeros_like(k_acc)
                 since_spill = 0
+            if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
+                host_acc += np.asarray(k_acc, dtype=np.int64)
+                k_acc = jnp.zeros_like(k_acc)
+                since_spill = 0
+                since_ckpt = 0
+                ckpt.save(host_acc=host_acc, next_theta=np.int64(i))
         host_acc += np.asarray(k_acc, dtype=np.int64)
         return host_acc
 
@@ -280,6 +304,18 @@ class DenseGkmEngine:
         stdevs: List[float] = []
         i = 0
         done = False
+        ckpt = self._checkpoint(f"approx:{seed}:{conv_delta}:{max_iters}")
+        since_ckpt = 0
+        if ckpt is not None and (saved := ckpt.load()) is not None:
+            state = (
+                jnp.asarray(saved["k_sum"]),
+                jnp.asarray(saved["mean"]),
+                jnp.int32(saved["it"]),
+                jnp.bool_(saved["done"]),
+            )
+            i = int(saved["next_theta"])
+            stdevs = [float(s) for s in saved["stdevs"]]
+            done = bool(saved["done"])
         while i < total and not done:
             t = min(self.theta_batch, total - i)
             batch = jnp.asarray(stream[i : i + t], dtype=jnp.int32)
@@ -293,9 +329,20 @@ class DenseGkmEngine:
                 **kwargs_approx,
             )
             i += t
+            since_ckpt += t
             sds_np = np.asarray(sds)
             stdevs.extend(float(s) for s in sds_np if not math.isnan(s))
             done = bool(state[3])
+            if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
+                since_ckpt = 0
+                ckpt.save(
+                    k_sum=np.asarray(state[0]),
+                    mean=np.asarray(state[1]),
+                    it=np.int32(state[2]),
+                    done=np.bool_(state[3]),
+                    next_theta=np.int64(i),
+                    stdevs=np.asarray(stdevs, dtype=np.float64),
+                )
 
         k_sum, _, it, done_flag = state
         iters = int(it)

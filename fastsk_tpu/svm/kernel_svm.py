@@ -209,3 +209,38 @@ class KernelSVC:
 
     def score(self, gram_rows, y) -> float:
         return float(np.mean(self.predict(gram_rows) == np.asarray(y)))
+
+
+def save_svm_model(path: str, model: "KernelSVC") -> None:
+    """Persist a fitted KernelSVC (npz; the reference's LIBSVM text format
+    save/load exists in svm.cpp:2672-3011 but is never wired to Python —
+    here persistence is a first-class API)."""
+    np.savez(
+        path if path.endswith(".npz") else path + ".npz",
+        kind=np.bytes_(b"kernel_svc"),
+        alpha_y=model.alpha_y_,
+        rho=np.float64(model.rho_),
+        classes=model.classes_,
+        C=np.float64(model.C),
+        eps=np.float64(model.eps),
+        probability=np.bool_(model.probability),
+        platt=np.asarray(getattr(model, "platt_", (0.0, 0.0)), dtype=np.float64),
+    )
+
+
+def load_svm_model(path: str) -> "KernelSVC":
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as z:
+        if z["kind"].item() != b"kernel_svc":
+            raise ValueError(f"not a kernel_svc model file: {path}")
+        model = KernelSVC(
+            C=float(z["C"]), eps=float(z["eps"]), probability=bool(z["probability"])
+        )
+        model.alpha_y_ = z["alpha_y"]
+        model.rho_ = float(z["rho"])
+        model.classes_ = z["classes"]
+        model.support_ = np.flatnonzero(model.alpha_y_ != 0)
+        if model.probability:
+            model.platt_ = tuple(z["platt"])
+    return model

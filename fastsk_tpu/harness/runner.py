@@ -1,0 +1,171 @@
+"""Runner library — the workflow every published FastSK number came from.
+
+Mirrors the reference's FastskRunner / FastskRegressor / time_fastsk
+(test/utils.py:15-104, 393-445; old_utils.py:452-499): read a dataset
+pair, compute the gkm kernel, train a calibrated linear SVM on the kernel
+rows (empirical kernel map) or LassoCV for regression, and report
+acc/AUC/r². The timing helper runs the kernel in a subprocess with a
+kill-on-timeout, like the reference's multiprocessing wrapper
+(test/utils.py:33-53), because exact mode at extreme g/m can run long.
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..api import FastSK
+from ..io.fasta import FastaUtility
+from ..kernel.config import KernelConfig
+from ..metrics import accuracy_score, roc_auc
+from ..svm.linear import CalibratedLinearSVC
+
+
+class FastskRunner:
+    """fasta pair -> kernel -> calibrated LinearSVC on the EKM -> acc/auc."""
+
+    def __init__(self, prefix: str, data_locations=("/root/reference/data", "data")):
+        self.prefix = prefix
+        loc = next(
+            (d for d in data_locations if osp.exists(osp.join(d, f"{prefix}.train.fasta"))),
+            None,
+        )
+        if loc is None:
+            raise FileNotFoundError(f"no {prefix}.train.fasta under {data_locations}")
+        self.train_file = osp.join(loc, f"{prefix}.train.fasta")
+        self.test_file = osp.join(loc, f"{prefix}.test.fasta")
+        reader = FastaUtility()
+        self.train_seq, self.Ytrain = reader.read_data(self.train_file)
+        self.test_seq, self.Ytest = reader.read_data(self.test_file)
+
+    def compute_kernel(
+        self,
+        g: int,
+        m: int,
+        t: int = -1,
+        approx: bool = False,
+        I: int = -1,
+        delta: float = 0.025,
+        skip_variance: bool = False,
+        config: Optional[KernelConfig] = None,
+    ) -> FastSK:
+        fsk = FastSK(
+            g=g, m=m, t=t, approx=approx, delta=delta,
+            max_iters=I, skip_variance=skip_variance, config=config,
+        )
+        fsk.compute_kernel(self.train_seq, self.test_seq, self.Ytrain, self.Ytest)
+        return fsk
+
+    def train_and_test(
+        self,
+        g: int,
+        m: int,
+        t: int = -1,
+        approx: bool = False,
+        I: int = -1,
+        delta: float = 0.025,
+        skip_variance: bool = False,
+        C: float = 1.0,
+        config: Optional[KernelConfig] = None,
+    ) -> dict:
+        fsk = self.compute_kernel(
+            g, m, t=t, approx=approx, I=I, delta=delta,
+            skip_variance=skip_variance, config=config,
+        )
+        Xtrain = np.array(fsk.get_train_kernel())
+        Xtest = np.array(fsk.get_test_kernel())
+        clf = CalibratedLinearSVC(C=C, class_weight="balanced").fit(
+            Xtrain, self.Ytrain
+        )
+        acc = clf.score(Xtest, self.Ytest)
+        probs = clf.predict_proba(Xtest)[:, 1]
+        auc = roc_auc(self.Ytest, probs)
+        return {"acc": acc, "auc": auc, "iters": fsk.iterations}
+
+
+class FastskRegressor:
+    """fasta pair with float labels -> kernel -> LassoCV -> r^2
+    (old_utils.py:452-499)."""
+
+    def __init__(self, prefix: str, data_locations=("/root/reference/data", "data")):
+        loc = next(
+            (d for d in data_locations if osp.exists(osp.join(d, f"{prefix}.train.fasta"))),
+            None,
+        )
+        if loc is None:
+            raise FileNotFoundError(f"no {prefix}.train.fasta under {data_locations}")
+        reader = FastaUtility()
+        self.train_seq, ytr = reader.read_data(
+            osp.join(loc, f"{prefix}.train.fasta"), regression=True
+        )
+        self.test_seq, yte = reader.read_data(
+            osp.join(loc, f"{prefix}.test.fasta"), regression=True
+        )
+        self.Ytrain = np.asarray(ytr, dtype=np.float64)
+        self.Ytest = np.asarray(yte, dtype=np.float64)
+
+    def train_and_test(
+        self,
+        g: int,
+        m: int,
+        t: int = -1,
+        approx: bool = True,
+        I: int = 100,
+        delta: float = 0.025,
+        skip_variance: bool = False,
+    ) -> float:
+        from ..svm.lasso import LassoCV
+
+        fsk = FastSK(
+            g=g, m=m, t=t, approx=approx, delta=delta,
+            max_iters=I, skip_variance=skip_variance,
+        )
+        fsk.compute_kernel(self.train_seq, self.test_seq)
+        Xtrain = np.array(fsk.get_train_kernel())
+        Xtest = np.array(fsk.get_test_kernel())
+        model = LassoCV(cv=5, random_state=293).fit(Xtrain, self.Ytrain)
+        return model.score(Xtest, self.Ytest)
+
+
+def _timed_child(queue, prefix, kwargs):
+    runner = FastskRunner(prefix)
+    t0 = time.time()
+    runner.compute_kernel(**kwargs)
+    queue.put(time.time() - t0)
+
+
+def time_fastsk(
+    g: int,
+    m: int,
+    t: int = -1,
+    prefix: str = "EP300",
+    approx: bool = False,
+    I: int = -1,
+    skip_variance: bool = False,
+    timeout: Optional[float] = None,
+) -> float:
+    """Kernel wall-clock with a kill-on-timeout subprocess wrapper.
+
+    Returns the elapsed seconds, or the timeout value if the run was
+    killed (the reference's convention, test/utils.py:15-66).
+    """
+    kwargs = dict(g=g, m=m, t=t, approx=approx, I=I, skip_variance=skip_variance)
+    if timeout is None:
+        q: multiprocessing.Queue = multiprocessing.Queue()
+        _timed_child(q, prefix, kwargs)
+        return q.get()
+    ctx = multiprocessing.get_context("spawn")
+    q = ctx.Queue()
+    proc = ctx.Process(target=_timed_child, args=(q, prefix, kwargs))
+    proc.start()
+    proc.join(timeout)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+        return float(timeout)
+    return q.get()

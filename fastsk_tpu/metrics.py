@@ -99,3 +99,59 @@ def r2_score(y_true, y_pred) -> float:
     ss_res = np.sum((y_true - y_pred) ** 2)
     ss_tot = np.sum((y_true - y_true.mean()) ** 2)
     return float(1.0 - ss_res / ss_tot) if ss_tot else 0.0
+
+
+def balanced_accuracy(y_true, y_pred) -> float:
+    """BAC = (TPR + TNR) / 2 (eval.cpp's bac metric)."""
+    rates = confusion_rates(y_true, y_pred)
+    return 0.5 * (rates["tpr"] + rates["tnr"])
+
+
+def average_precision(y_true, scores) -> float:
+    """Area under the precision-recall curve (step interpolation, the
+    eval.cpp ap_score semantics)."""
+    y = _binarize(np.asarray(y_true))
+    s = np.asarray(scores, dtype=np.float64)
+    order = np.argsort(-s, kind="stable")
+    y = y[order]
+    tp = np.cumsum(y == 1)
+    fp = np.cumsum(y != 1)
+    n_pos = int((y == 1).sum())
+    if n_pos == 0:
+        return 0.0
+    precision = tp / np.maximum(tp + fp, 1)
+    recall = tp / n_pos
+    # sum precision at each new positive (step-wise AP)
+    d_recall = np.diff(np.concatenate([[0.0], recall]))
+    return float(np.sum(precision * d_recall))
+
+
+def binary_class_cross_validation(
+    gram: np.ndarray, y, n_folds: int = 5, C: float = 1.0, eps: float = 1e-3
+) -> dict:
+    """Stratified k-fold CV of the kernel C-SVC on a precomputed Gram
+    matrix, reporting pooled decision-value metrics — the JAX equivalent of
+    eval.cpp:273+ (binary_class_cross_validation driving svm_train +
+    svm_predict_values)."""
+    from .svm.kernel_svm import KernelSVC
+    from .svm.linear import stratified_kfold_indices
+
+    gram = np.asarray(gram, dtype=np.float64)
+    y = np.asarray(y)
+    folds = stratified_kfold_indices(y, n_folds)
+    n = len(y)
+    dec = np.zeros(n)
+    pred = np.zeros(n, dtype=y.dtype)
+    for f in folds:
+        tr = np.setdiff1d(np.arange(n), f)
+        model = KernelSVC(C=C, eps=eps).fit(gram[np.ix_(tr, tr)], y[tr])
+        dec[f] = model.decision_function(gram[np.ix_(f, tr)])
+        pred[f] = model.predict(gram[np.ix_(f, tr)])
+    out = {
+        "auc": roc_auc(y, dec),
+        "accuracy": accuracy_score(y, pred),
+        "bac": balanced_accuracy(y, pred),
+        "ap": average_precision(y, dec),
+    }
+    out.update(precision_recall_f1(y, pred))
+    return out

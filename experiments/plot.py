@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Figure generators for the experiment CSVs (results/plot.py analogue).
+
+Each function takes the CSV written by run_experiments.py / run_gridsearch.py
+and emits a PNG. Run with --all <outdir> to render every CSV found.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+
+def _read(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def plot_g_time(path, out):
+    rows = _read(path)
+    g = [int(r["g"]) for r in rows]
+    t = [float(r["time_s"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(g, t, marker="o")
+    ax.set_xlabel("g (k = 6)")
+    ax.set_ylabel("kernel time (s)")
+    ax.set_yscale("log")
+    ax.set_title(os.path.basename(path).replace(".csv", ""))
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_m_time(path, out):
+    rows = _read(path)
+    m = [int(r["m"]) for r in rows]
+    t = [float(r["time_s"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(m, t, marker="o")
+    ax.set_xlabel("m (g = 16)")
+    ax.set_ylabel("kernel time (s)")
+    ax.set_yscale("log")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_i_auc(path, out):
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot([int(r["I"]) for r in rows], [float(r["auc"]) for r in rows], marker="o")
+    ax.set_xlabel("sampled iterations I")
+    ax.set_ylabel("AUC")
+    ax.set_xscale("log")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_delta_auc(path, out):
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(
+        [float(r["delta"]) for r in rows], [float(r["auc"]) for r in rows], marker="o"
+    )
+    ax.set_xlabel("convergence delta")
+    ax.set_ylabel("AUC")
+    ax.set_xscale("log")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_stdev_i(path, out):
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    seeds = sorted({r["seed"] for r in rows})
+    for s in seeds:
+        pts = [(int(r["iteration"]), float(r["stdev"])) for r in rows
+               if r["seed"] == s and int(r["iteration"]) > 1]
+        if pts:
+            ax.plot(*zip(*pts), alpha=0.7, label=f"seed {s}")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("convergence sd")
+    ax.set_yscale("log")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_g_auc(path, out):
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    for mode in ("exact", "approx"):
+        pts = [(int(r["g"]), float(r["auc"])) for r in rows if r["mode"] == mode]
+        if pts:
+            ax.plot(*zip(*pts), marker="o", label=mode)
+    ax.set_xlabel("g")
+    ax.set_ylabel("AUC")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_chips(path, out):
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    d = [int(r["devices"]) for r in rows]
+    ax.plot(d, [float(r["speedup"]) for r in rows], marker="o", label="measured")
+    ax.plot(d, d, linestyle="--", color="gray", label="linear")
+    ax.set_xlabel("devices")
+    ax.set_ylabel("speedup")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+PLOTTERS = {
+    "g_time": plot_g_time,
+    "m_time": plot_m_time,
+    "I_auc": plot_i_auc,
+    "delta_auc": plot_delta_auc,
+    "stdev_I": plot_stdev_i,
+    "g_auc": plot_g_auc,
+    "chips": plot_chips,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", metavar="DIR", help="render every known CSV in DIR")
+    ap.add_argument("--csv", help="one CSV to render")
+    ap.add_argument("--kind", choices=sorted(PLOTTERS), help="plot type for --csv")
+    args = ap.parse_args(argv)
+
+    if args.csv:
+        PLOTTERS[args.kind](args.csv, args.csv.replace(".csv", ".png"))
+        return
+    if args.all:
+        for path in glob.glob(os.path.join(args.all, "*.csv")):
+            for kind, fn in PLOTTERS.items():
+                if path.endswith(f"_{kind}.csv"):
+                    fn(path, path.replace(".csv", ".png"))
+                    print(f"rendered {path}")
+
+
+if __name__ == "__main__":
+    main()

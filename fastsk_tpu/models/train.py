@@ -1,0 +1,187 @@
+"""Training/eval loops for the DL baselines (results/neural_nets parity).
+
+Mirrors the reference's run_cnn.py / run_rnn.py workflow: read a fasta
+pair, one-hot (CNN) or token (LSTM) encode with static padded shapes,
+train with Adam + cross entropy, report accuracy and AUC; supports
+multi-seed repeats and train-size fractions
+(results/neural_nets/utils.py:105-361, trainsize_varyresults/).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..io.fasta import FastaUtility
+from ..metrics import accuracy_score, roc_auc
+from .charcnn import CharCNN
+from .lstm import SeqLSTM
+
+
+def encode_dataset(X, Y, max_len: int, vocab_size: int):
+    """Pad/truncate to [N, max_len] int32 plus lengths and labels."""
+    n = len(X)
+    toks = np.zeros((n, max_len), dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, seq in enumerate(X):
+        s = np.asarray(seq[:max_len], dtype=np.int32)
+        toks[i, : len(s)] = s
+        lengths[i] = len(s)
+    y = np.asarray(Y)
+    classes = np.unique(y)
+    y01 = np.searchsorted(classes, y).astype(np.int32)
+    return toks, lengths, y01, classes
+
+
+@dataclass
+class TrainResult:
+    acc: float
+    auc: float
+    train_time_s: float
+    history: List[dict] = field(default_factory=list)
+
+
+def _batches(rng, n, batch_size):
+    order = rng.permutation(n)
+    for i in range(0, n, batch_size):
+        yield order[i : i + batch_size]
+
+
+def train_model(
+    model_kind: str,  # "cnn" | "lstm"
+    train_file: str,
+    test_file: str,
+    epochs: int = 10,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    max_len: Optional[int] = None,
+    seed: int = 0,
+    train_fraction: float = 1.0,
+) -> TrainResult:
+    reader = FastaUtility()
+    Xtr, Ytr = reader.read_data(train_file)
+    Xte, Yte = reader.read_data(test_file)
+    vocab_size = len(reader.vocab) + 1
+    if max_len is None:
+        max_len = max(len(s) for s in Xtr + Xte)
+
+    if train_fraction < 1.0:
+        rng0 = np.random.default_rng(seed)
+        keep = rng0.permutation(len(Xtr))[: max(2, int(len(Xtr) * train_fraction))]
+        Xtr = [Xtr[i] for i in keep]
+        Ytr = [Ytr[i] for i in keep]
+
+    toks_tr, len_tr, y_tr, classes = encode_dataset(Xtr, Ytr, max_len, vocab_size)
+    toks_te, len_te, y_te, _ = encode_dataset(Xte, Yte, max_len, vocab_size)
+    n_classes = max(2, len(classes))
+
+    key = jax.random.PRNGKey(seed)
+    if model_kind == "cnn":
+        model = CharCNN(n_classes=n_classes)
+
+        def inputs(toks, lengths):
+            onehot = jax.nn.one_hot(toks - 1, vocab_size - 1, dtype=jnp.float32)
+            onehot = onehot * (toks > 0)[..., None]
+            return (onehot,)
+
+        params = model.init(key, *inputs(toks_tr[:2], len_tr[:2]), train=False)
+    elif model_kind == "lstm":
+        model = SeqLSTM(vocab_size=vocab_size, n_classes=n_classes)
+
+        def inputs(toks, lengths):
+            return (jnp.asarray(toks), jnp.asarray(lengths))
+
+        params = model.init(key, *inputs(toks_tr[:2], len_tr[:2]))
+    else:
+        raise ValueError(f"unknown model kind {model_kind!r}")
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, dropout_key, *args_y):
+        *args, y = args_y
+
+        def loss_fn(p):
+            if model_kind == "cnn":
+                logits = model.apply(
+                    p, *args, train=True, rngs={"dropout": dropout_key}
+                )
+            else:
+                logits = model.apply(p, *args)
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, *args):
+        if model_kind == "cnn":
+            logits = model.apply(params, *args, train=False)
+        else:
+            logits = model.apply(params, *args)
+        return jax.nn.softmax(logits, axis=-1)
+
+    rng = np.random.default_rng(seed)
+    history = []
+    t0 = time.time()
+    # pad the train set so every batch has the same static shape
+    n_tr = len(y_tr)
+    for epoch in range(epochs):
+        losses = []
+        for idx in _batches(rng, n_tr, batch_size):
+            if len(idx) < batch_size:
+                idx = np.concatenate([idx, idx[: batch_size - len(idx)]])
+            key, dk = jax.random.split(key)
+            args = inputs(toks_tr[idx], len_tr[idx])
+            params, opt_state, loss = train_step(
+                params, opt_state, dk, *args, jnp.asarray(y_tr[idx])
+            )
+            losses.append(float(loss))
+        history.append({"epoch": epoch, "loss": float(np.mean(losses))})
+    train_time = time.time() - t0
+
+    probs = []
+    for i in range(0, len(y_te), batch_size):
+        sl = slice(i, min(i + batch_size, len(y_te)))
+        idx = np.arange(sl.start, sl.stop)
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, np.zeros(batch_size - len(idx), dtype=int)])
+        p = np.asarray(predict(params, *inputs(toks_te[idx], len_te[idx])))
+        probs.append(p[: sl.stop - sl.start])
+    probs = np.concatenate(probs)
+    preds = probs.argmax(axis=1)
+    acc = accuracy_score(y_te, preds)
+    auc = roc_auc(y_te, probs[:, 1]) if n_classes == 2 else float("nan")
+    return TrainResult(acc=acc, auc=auc, train_time_s=train_time, history=history)
+
+
+def run_repeats(
+    model_kind: str,
+    train_file: str,
+    test_file: str,
+    seeds: int = 5,
+    train_fractions: Tuple[float, ...] = (1.0,),
+    **kwargs,
+) -> List[dict]:
+    """Multi-seed, multi-train-fraction sweep (trainsize_varyresults/)."""
+    rows = []
+    for frac in train_fractions:
+        for seed in range(seeds):
+            res = train_model(
+                model_kind, train_file, test_file,
+                seed=seed, train_fraction=frac, **kwargs,
+            )
+            rows.append(
+                {"model": model_kind, "fraction": frac, "seed": seed,
+                 "acc": res.acc, "auc": res.auc, "time_s": res.train_time_s}
+            )
+    return rows

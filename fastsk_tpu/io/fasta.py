@@ -83,12 +83,50 @@ class FastaUtility:
     through the shared :class:`Vocabulary`.
     """
 
-    def __init__(self, vocab: Vocabulary | None = None) -> None:
+    def __init__(
+        self, vocab: Vocabulary | None = None, use_native: bool = True
+    ) -> None:
         self._vocab = Vocabulary() if vocab is None else vocab
+        self._use_native = use_native
+        self._native_reader = None
 
     @property
     def vocab(self) -> Vocabulary:
         return self._vocab
+
+    def _try_native(self, data_file: str):
+        """Read via the C++ parser when possible (ASCII classification data
+        with a single-ASCII-char vocabulary); returns None to fall back."""
+        if not self._use_native:
+            return None
+        try:
+            from ..native import loader
+        except ImportError:
+            return None
+        if not loader.available():
+            return None
+        if self._native_reader is None:
+            reader = loader.NativeFastaReader()
+            # seed the byte table from any pre-populated vocabulary
+            for token, code in self._vocab._token2idx.items():
+                if token == 0:
+                    continue
+                if not (isinstance(token, str) and len(token) == 1 and ord(token) < 128):
+                    return None  # multi-char/unicode vocab: Python path
+                reader._vocab[ord(token)] = code
+            reader._next.value = self._vocab.size()
+            self._native_reader = reader
+        try:
+            X, Y = self._native_reader.read_data(data_file)
+        except ValueError:
+            return None  # non-ASCII or malformed: let the Python path report
+        # sync newly discovered tokens back into the shared Vocabulary
+        for ch, code in sorted(
+            self._native_reader.vocab_items().items(), key=lambda kv: kv[1]
+        ):
+            self._vocab._token2idx.setdefault(ch, code)
+        self._vocab._size = self._native_reader.vocab_size
+        return X, Y
 
     def read_data(
         self,
@@ -103,6 +141,10 @@ class FastaUtility:
         vocabulary, which is how train/test files get a consistent encoding.
         """
         assert vocab.lower() in ("dna", "protein", "inferred")
+        if not regression:
+            native = self._try_native(data_file)
+            if native is not None:
+                return native
         X: List[List[int]] = []
         Y: List[Label] = []
         with open(data_file, "r") as f:

@@ -1,0 +1,76 @@
+"""Native C++ FASTA parser: exact parity with the Python reader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastsk_tpu.io.fasta import FastaUtility
+from fastsk_tpu.native import loader
+
+from conftest import REFERENCE_DATA
+
+pytestmark = pytest.mark.skipif(
+    not loader.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.mark.parametrize(
+    "name", ["small.train.fasta", "EP300.test.fasta", "1.1.test.fasta",
+             "AImed.train.fasta"]
+)
+def test_native_matches_python_reader(name):
+    path = os.path.join(REFERENCE_DATA, name)
+    py = FastaUtility(use_native=False)
+    Xp, Yp = py.read_data(path)
+    nat = FastaUtility(use_native=True)
+    Xn, Yn = nat.read_data(path)
+    assert Yp == Yn
+    assert len(Xp) == len(Xn)
+    for a, b in zip(Xp, Xn):
+        assert a == b
+    assert py.vocab.size() == nat.vocab.size()
+
+
+def test_native_shared_vocab_across_files():
+    nat = FastaUtility(use_native=True)
+    Xtr, _ = nat.read_data(os.path.join(REFERENCE_DATA, "EP300.train.fasta"))
+    Xte, _ = nat.read_data(os.path.join(REFERENCE_DATA, "EP300.test.fasta"))
+    py = FastaUtility(use_native=False)
+    Xtr_p, _ = py.read_data(os.path.join(REFERENCE_DATA, "EP300.train.fasta"))
+    Xte_p, _ = py.read_data(os.path.join(REFERENCE_DATA, "EP300.test.fasta"))
+    assert Xtr == Xtr_p and Xte == Xte_p
+
+
+def test_native_rejects_malformed(tmp_path):
+    bad = tmp_path / "bad.fasta"
+    bad.write_text("not a label line\nacgt\n")
+    reader = loader.NativeFastaReader()
+    with pytest.raises(ValueError):
+        reader.read_data(str(bad))
+
+
+def test_native_falls_back_on_unicode(tmp_path):
+    uni = tmp_path / "uni.fasta"
+    uni.write_text(">1\nاختبار\n", encoding="utf-8")
+    reader = loader.NativeFastaReader()
+    with pytest.raises(ValueError):
+        reader.read_data(str(uni))
+    # the FastaUtility wrapper silently falls back to the Python path
+    X, Y = FastaUtility(use_native=True).read_data(str(uni))
+    assert Y == [1] and len(X[0]) == 6
+
+
+def test_native_parse_speed_sanity():
+    """The native parser should beat the Python reader on a real file."""
+    import time
+
+    path = os.path.join(REFERENCE_DATA, "EP300_47848.train.fasta")
+    t0 = time.perf_counter()
+    FastaUtility(use_native=False).read_data(path)
+    py_t = time.perf_counter() - t0
+    loader.get_library()  # build outside the timed region
+    t0 = time.perf_counter()
+    FastaUtility(use_native=True).read_data(path)
+    nat_t = time.perf_counter() - t0
+    assert nat_t < py_t

@@ -79,7 +79,7 @@ class FastSK:
         choice = self.config.exact_engine
         if choice not in ("auto", "pairs", "theta"):
             raise ValueError(f"unknown exact_engine {choice!r}")
-        if choice == "theta" or (choice == "auto" and self.config.mesh is not None):
+        if choice == "theta":
             return self._make_engine(enc)
         try:
             return PairsGkmEngine(enc, self.g, self.m, self.config)

@@ -62,11 +62,16 @@ class PairsGkmEngine:
 
         # backend: the fused Pallas kernel on TPU (VMEM-resident D tiles),
         # the blocked XLA path elsewhere / for huge windows-per-sequence
+        self.mesh = self.config.mesh
         backend = self.config.pairs_backend
         if backend == "auto":
             backend = (
                 "pallas"
-                if jax.default_backend() == "tpu" and self.p_pad <= 256
+                if (
+                    jax.default_backend() == "tpu"
+                    and self.p_pad <= 256
+                    and self.mesh is None
+                )
                 else "xla"
             )
         self.backend = backend
@@ -116,7 +121,9 @@ class PairsGkmEngine:
     def exact(self) -> np.ndarray:
         """Exact unnormalized kernel, int64 [N, N] — all C(g, m) subsets."""
         x = self._build_x()
-        if self.backend == "pallas":
+        if self.mesh is not None:
+            upper = self._exact_sharded(x)
+        elif self.backend == "pallas":
             upper = self._exact_pallas(x)
         else:
             upper = self._exact_xla(x)
@@ -145,6 +152,51 @@ class PairsGkmEngine:
             .reshape(n_i * c_ti, n_j * c_tj)
         )
         return k_full
+
+    def _exact_sharded(self, x) -> np.ndarray:
+        """Mesh-parallel strips: round-robin over all devices, K rows local.
+
+        Every device computes whole i strips against the full (replicated)
+        window encoding; there is no inter-device communication until the
+        final host gather. Round-robin strip assignment balances the
+        triangular j loop.
+        """
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        spd = -(-self.n_strips_i // n_dev)  # slots (rounds) per device
+        n_slots = spd * n_dev
+        slot_sharding = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS), None, None),
+        )
+        k_slots = jnp.zeros(
+            (n_slots, self.c_i, self.n_pad), jnp.int32, device=slot_sharding
+        )
+        x = jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        for ridx in range(spd):
+            k_slots = shd.pairs_round_sharded(
+                k_slots,
+                x,
+                jnp.int32(ridx),
+                mesh=mesh,
+                k=self.k,
+                c_i=self.c_i,
+                c_j=self.c_j,
+                p_pad=self.p_pad,
+                n_strips_j=self.n_strips_j,
+            )
+        slots = np.asarray(k_slots, dtype=np.int64)
+        upper = np.zeros((self.n_pad, self.n_pad), dtype=np.int64)
+        for slot in range(n_slots):
+            dev, ridx = divmod(slot, spd)
+            strip = ridx * n_dev + dev
+            if strip < self.n_strips_i:
+                upper[strip * self.c_i : (strip + 1) * self.c_i] = slots[slot]
+        return upper
 
     def _exact_xla(self, x) -> np.ndarray:
         k_acc = jnp.zeros((self.n_pad, self.n_pad), dtype=jnp.int32)

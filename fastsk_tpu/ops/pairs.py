@@ -79,6 +79,48 @@ def onehot_windows(
     return oh
 
 
+def strip_rows(
+    x: jnp.ndarray,  # [Ns * p_pad, gA] bf16, sequence-aligned rows
+    i_strip: jnp.ndarray,  # scalar int32
+    *,
+    k: int,
+    c_i: int,
+    c_j: int,
+    p_pad: int,
+    n_strips_j: int,
+) -> jnp.ndarray:
+    """K rows ``[c_i, Ns]`` for one i strip against all j strips >= its own
+    (block upper triangle only; callers symmetrize). Strips past the end
+    (padding in sharded execution) produce zeros."""
+    n_rows = x.shape[0]
+    r_i = c_i * p_pad
+    r_j = c_j * p_pad
+    n_strips_i = n_rows // r_i
+    live = i_strip < n_strips_i
+    i_eff = jnp.minimum(i_strip, n_strips_i - 1)
+    xi = jax.lax.dynamic_slice_in_dim(x, i_eff * r_i, r_i, axis=0)
+
+    j_lo = (i_eff * c_i) // c_j
+    # + 0 * i_strip: inherit i_strip's varying-axes under shard_map so the
+    # fori carry types line up when each device runs a different strip
+    rows0 = jnp.zeros((c_i, n_rows // p_pad), jnp.int32) + 0 * i_strip
+
+    def body(j, rows):
+        xj = jax.lax.dynamic_slice_in_dim(x, j * r_j, r_j, axis=0)
+        d = jnp.matmul(xi, xj.T, preferred_element_type=jnp.float32)
+        # weights are exact f32 integers <= C(20, 10) < 2^24; all summation
+        # runs in int32 (exact to 2^31 — the engine guards the bound)
+        w = binom_exact(d, k).astype(jnp.int32)
+        # windows -> sequences: rows/cols are sequence-aligned, so the
+        # group reduction is a reshape-sum (no G matmul needed)
+        w = w.reshape(c_i, p_pad, c_j, p_pad)
+        part = jnp.sum(w, axis=(1, 3))  # [c_i, c_j] int32
+        return jax.lax.dynamic_update_slice(rows, part, (0, j * c_j))
+
+    rows = jax.lax.fori_loop(j_lo, n_strips_j, body, rows0)
+    return jnp.where(live, rows, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "c_i", "c_j", "p_pad", "n_strips_j"),
@@ -94,31 +136,8 @@ def pairs_strip_update(
     p_pad: int,
     n_strips_j: int,
 ):
-    """Accumulate K rows for one i strip against all j strips >= its own.
-
-    Computes only the (block) upper triangle; the caller symmetrizes.
-    """
-    r_i = c_i * p_pad
-    r_j = c_j * p_pad
-    xi = jax.lax.dynamic_slice_in_dim(x, i_strip * r_i, r_i, axis=0)
-
-    j_lo = (i_strip * c_i) // c_j
-
-    def body(j, acc):
-        xj = jax.lax.dynamic_slice_in_dim(x, j * r_j, r_j, axis=0)
-        d = jnp.matmul(xi, xj.T, preferred_element_type=jnp.float32)
-        # weights are exact f32 integers <= C(20, 10) < 2^24; all summation
-        # runs in int32 (exact to 2^31 — the engine guards the bound)
-        w = binom_exact(d, k).astype(jnp.int32)
-        # windows -> sequences: rows/cols are sequence-aligned, so the
-        # group reduction is a reshape-sum (no G matmul needed)
-        w = w.reshape(c_i, p_pad, c_j, p_pad)
-        part = jnp.sum(w, axis=(1, 3))  # [c_i, c_j] int32
-        blk = jax.lax.dynamic_slice(
-            acc, (i_strip * c_i, j * c_j), (c_i, c_j)
-        )
-        return jax.lax.dynamic_update_slice(
-            acc, blk + part, (i_strip * c_i, j * c_j)
-        )
-
-    return jax.lax.fori_loop(j_lo, n_strips_j, body, k_acc)
+    """Write K rows for one i strip into the accumulator (upper triangle)."""
+    rows = strip_rows(
+        x, i_strip, k=k, c_i=c_i, c_j=c_j, p_pad=p_pad, n_strips_j=n_strips_j
+    )
+    return jax.lax.dynamic_update_slice(k_acc, rows, (i_strip * c_i, 0))

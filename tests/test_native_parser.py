@@ -62,15 +62,23 @@ def test_native_falls_back_on_unicode(tmp_path):
 
 
 def test_native_parse_speed_sanity():
-    """The native parser should beat the Python reader on a real file."""
+    """The native parser should beat the Python reader on a real file.
+
+    Best-of-3 on both sides to keep the comparison robust under noisy
+    shared-machine load; the bound is still strict (native must win)."""
     import time
 
     path = os.path.join(REFERENCE_DATA, "EP300_47848.train.fasta")
-    t0 = time.perf_counter()
-    FastaUtility(use_native=False).read_data(path)
-    py_t = time.perf_counter() - t0
     loader.get_library()  # build outside the timed region
-    t0 = time.perf_counter()
-    FastaUtility(use_native=True).read_data(path)
-    nat_t = time.perf_counter() - t0
-    assert nat_t < py_t
+
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    py_t = best_of(lambda: FastaUtility(use_native=False).read_data(path))
+    nat_t = best_of(lambda: FastaUtility(use_native=True).read_data(path))
+    assert nat_t < py_t, (nat_t, py_t)

@@ -82,3 +82,29 @@ def test_approx_sharded_convergence_stop(rng):
     sharded.compute_train(X)
     assert single.iterations == sharded.iterations
     np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)
+
+
+def test_pairs_engine_sharded_matches_single(rng, mesh8):
+    """Rows-sharded all-pairs engine == single-device, exact integers."""
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = random_ragged_seqs(rng, 27, 12, 20, alphabet=4)
+    enc = encode_sequences(X)
+    single = PairsGkmEngine(enc, 6, 2)
+    sharded = PairsGkmEngine(enc, 6, 2, KernelConfig(mesh=mesh8))
+    np.testing.assert_array_equal(single.exact(), sharded.exact())
+
+
+def test_api_exact_with_mesh_uses_pairs(rng, mesh8):
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = random_ragged_seqs(rng, 16, 10, 16, alphabet=4)
+    fsk = FastSK(g=6, m=2, config=KernelConfig(mesh=mesh8))
+    engine = fsk._make_exact_engine(encode_sequences(X))
+    assert type(engine).__name__ == "PairsGkmEngine"
+    fsk.compute_train(X)
+    ref = FastSK(g=6, m=2)
+    ref.compute_train(X)
+    np.testing.assert_array_equal(ref.kernel_counts, fsk.kernel_counts)

@@ -60,4 +60,7 @@ class KernelConfig:
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 512
 
+    # Write a jax.profiler device trace of kernel computation here.
+    profile_dir: Optional[str] = None
+
     quiet: bool = True

@@ -27,6 +27,7 @@ import numpy as np
 from ..ops import gkm
 from ..ops.combinatorics import enumerate_combinations, nchoosek
 from ..ops.encode import EncodedSeqs
+from ..utils.observe import Progress, profiler_trace, timed
 from .config import KernelConfig
 
 
@@ -77,6 +78,7 @@ class DenseGkmEngine:
         self.matmul_dtype = self.count_dtype
 
         cfg = self.config
+        self.progress = Progress(quiet=cfg.quiet)
         self.theta_batch = cfg.theta_batch or self._auto_theta_batch()
         self.row_chunk = cfg.row_chunk or self._auto_row_chunk()
 
@@ -238,7 +240,15 @@ class DenseGkmEngine:
     def exact(self) -> np.ndarray:
         """Exact unnormalized kernel (int64 [N, N]) over all C(g, m) subsets."""
         thetas = enumerate_combinations(self.g, self.k)
-        return self._sum_thetas(thetas)
+        self.progress.log(
+            f"dense exact: {len(thetas)} passes over {self.n} sequences "
+            f"(B={self.b_total}, batch={self.theta_batch})"
+        )
+        pairs_total = self.n * (self.n + 1) / 2 * len(thetas)
+        with profiler_trace(self.config.profile_dir), timed(
+            self.progress, "dense exact kernel", pairs_total, "pairs"
+        ):
+            return self._sum_thetas(thetas)
 
     # ---------------------------------------------------------- approx
 
@@ -346,6 +356,10 @@ class DenseGkmEngine:
 
         k_sum, _, it, done_flag = state
         iters = int(it)
+        self.progress.log(
+            f"approx: {'converged' if bool(done_flag) else 'stopped'} after "
+            f"{iters} iterations"
+        )
         counts = np.asarray(k_sum, dtype=np.int64)[: self.n, : self.n]
         return ApproxResult(
             counts=counts,

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops import pairs
 from ..ops.encode import EncodedSeqs
+from ..utils.observe import Progress, profiler_trace, timed
 from .config import KernelConfig
 
 
@@ -120,17 +121,35 @@ class PairsGkmEngine:
 
     def exact(self) -> np.ndarray:
         """Exact unnormalized kernel, int64 [N, N] — all C(g, m) subsets."""
-        x = self._build_x()
-        if self.mesh is not None:
-            upper = self._exact_sharded(x)
-        elif self.backend == "pallas":
-            upper = self._exact_pallas(x)
-        else:
-            upper = self._exact_xla(x)
-        upper = upper[: self.n, : self.n]
-        # both paths computed the (block) upper triangle; mirror it
-        out = np.triu(upper)
-        out = out + np.triu(upper, 1).T
+        progress = Progress(quiet=self.config.quiet)
+        progress.log(
+            f"pairs exact ({self.backend}): {self.n} sequences, "
+            f"p_pad={self.p_pad}, strips={self.n_strips_i}"
+        )
+        import math as _math
+
+        pairs_total = (
+            self.n * (self.n + 1) / 2 * _math.comb(self.g, self.k)
+        )
+        ctx_t = timed(progress, "pairs exact kernel", pairs_total, "pairs")
+        ctx_p = profiler_trace(self.config.profile_dir)
+        ctx_p.__enter__()
+        ctx_t.__enter__()
+        try:
+            x = self._build_x()
+            if self.mesh is not None:
+                upper = self._exact_sharded(x)
+            elif self.backend == "pallas":
+                upper = self._exact_pallas(x)
+            else:
+                upper = self._exact_xla(x)
+            upper = upper[: self.n, : self.n]
+            # both paths computed the (block) upper triangle; mirror it
+            out = np.triu(upper)
+            out = out + np.triu(upper, 1).T
+        finally:
+            ctx_t.__exit__(None, None, None)
+            ctx_p.__exit__(None, None, None)
         return out
 
     def _exact_pallas(self, x, interpret: bool = False) -> np.ndarray:

@@ -85,7 +85,9 @@ class SortedGkmEngine:
         self.slab = self.config.sorted_slab
 
         # flattened window table (the reference's feature table,
-        # shared.cpp:17-91, kept dense with a validity mask)
+        # shared.cpp:17-91), host-compacted to the valid windows only —
+        # ragged sequence lengths would otherwise inflate every device sort
+        # by the padding factor (4-5x on the NLP sets)
         ids = np.asarray(enc.ids)
         n, length = ids.shape
         windows = np.lib.stride_tricks.sliding_window_view(ids, self.g, axis=1)
@@ -93,6 +95,16 @@ class SortedGkmEngine:
         pos = np.arange(self.p, dtype=np.int32)
         valid = (pos[None, :] <= (enc.lengths[:, None] - self.g)).reshape(-1)
         seq_of = np.repeat(np.arange(n, dtype=np.int32), self.p)
+        keep = np.flatnonzero(valid)
+        nfeat_pad = ((len(keep) + 127) // 128) * 128
+        pad = nfeat_pad - len(keep)
+        windows = np.concatenate(
+            [windows[keep], np.zeros((pad, self.g), np.int32)]
+        )
+        valid = np.concatenate(
+            [np.ones(len(keep), bool), np.zeros(pad, bool)]
+        )
+        seq_of = np.concatenate([seq_of[keep], np.zeros(pad, np.int32)])
 
         dev = self.config.device
         self._windows = jax.device_put(jnp.asarray(windows), dev)

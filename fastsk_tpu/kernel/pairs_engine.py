@@ -79,8 +79,11 @@ class PairsGkmEngine:
 
         if backend == "pallas":
             # i tiles ~768 window rows; j spans 128 sequences so the output
-            # block is lane-aligned (the kernel chunks D internally)
-            self.c_i = max(1, 768 // self.p_pad)
+            # block is lane-aligned (the kernel chunks D internally).
+            # c_i must divide c_j so both strip grids tile n_pad.
+            c_i = max(1, 768 // self.p_pad)
+            c_i = 1 << (c_i.bit_length() - 1)  # floor to a power of two
+            self.c_i = min(c_i, 128)
             self.c_j = 128
             self.n_pad = _next_multiple(self.n, self.c_j)
         else:

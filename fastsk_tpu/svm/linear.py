@@ -205,7 +205,18 @@ class CalibratedLinearSVC:
         X = np.asarray(X, dtype=np.float32)
         y = np.asarray(y)
         self.classes_ = np.unique(y)
-        folds = stratified_kfold_indices(y, self.cv)
+        # degrade gracefully on tiny data: every fold's training split must
+        # still contain both classes
+        min_class = int(min(np.bincount(np.searchsorted(self.classes_, y))))
+        cv = max(2, min(self.cv, min_class)) if min_class >= 2 else 0
+        if cv == 0:
+            # toy-sized data (one sample in a class): uncalibrated fallback
+            svc = LinearSVC(C=self.C, class_weight=self.class_weight).fit(X, y)
+            dec = svc.decision_function(X)
+            A, B = sigmoid_train(dec, np.where(y == self.classes_[1], 1, -1))
+            self._models = [(svc, A, B)]
+            return self
+        folds = stratified_kfold_indices(y, cv)
         all_idx = np.arange(len(y))
         self._models: List[Tuple[LinearSVC, float, float]] = []
         for f in folds:

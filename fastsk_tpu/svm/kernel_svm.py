@@ -36,17 +36,21 @@ _TAU = 1e-12
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _smo_solve(
+def _smo_solve_general(
     Q: jnp.ndarray,  # [n, n] float32, Q = (y y^T) * K
     y: jnp.ndarray,  # [n] float32 {-1, +1}
     C_vec: jnp.ndarray,  # [n] per-sample upper bound
+    p: jnp.ndarray,  # [n] linear term (C-SVC: -e)
+    alpha0: jnp.ndarray,  # [n] feasible start (sum y.a fixed by caller)
     eps: float,
     max_iter: int,
 ):
-    """Returns (alpha, rho, iters). grad = Q a - e maintained incrementally."""
+    """Generalized single-constraint SMO: min 0.5 a^T Q a + p^T a subject to
+    0 <= a <= C, y^T a = const — LIBSVM Solver::Solve
+    (svm.cpp:411-1028) covering C-SVC, epsilon-SVR and one-class via the
+    caller's choice of Q, p, bounds and warm start."""
     n = Q.shape[0]
-    alpha0 = jnp.zeros((n,), jnp.float32)
-    grad0 = -jnp.ones((n,), jnp.float32)
+    grad0 = Q @ alpha0 + p
 
     def select(alpha, grad):
         # I_up: y=+1 & a<C  or  y=-1 & a>0 ; I_low: y=+1 & a>0 or y=-1 & a<C
@@ -108,6 +112,7 @@ def _smo_solve(
     alpha, grad, iters, _ = jax.lax.while_loop(
         cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
     )
+    # (continues below: rho from the final gradient)
 
     # rho (bias): average -y*grad over free SVs, else midpoint of bounds
     # (libsvm Solver::calculate_rho, svm.cpp:974-1004)
@@ -244,3 +249,95 @@ def load_svm_model(path: str) -> "KernelSVC":
         if model.probability:
             model.platt_ = tuple(z["platt"])
     return model
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _smo_solve(Q, y, C_vec, eps, max_iter):
+    """C-SVC specialization: p = -e, cold start at zero."""
+    n = Q.shape[0]
+    return _smo_solve_general(
+        Q, y, C_vec, -jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32), eps, max_iter
+    )
+
+
+@dataclass
+class EpsilonSVR:
+    """epsilon-SVR on a precomputed kernel (LIBSVM solve_epsilon_svr,
+    svm.cpp:1560-1610: the 2n-variable dual with the same SMO core)."""
+
+    C: float = 1.0
+    epsilon: float = 0.1  # tube width (LIBSVM's -p)
+    eps: float = 1e-3  # stopping tolerance
+    max_iter: int = 10_000_000
+
+    def fit(self, gram: np.ndarray, y) -> "EpsilonSVR":
+        gram = np.asarray(gram, dtype=np.float32)
+        y = np.asarray(y, dtype=np.float32)
+        n = len(y)
+        K2 = np.block([[gram, gram], [gram, gram]])
+        y2 = np.concatenate([np.ones(n), -np.ones(n)]).astype(np.float32)
+        Q2 = K2 * np.outer(y2, y2)
+        p2 = np.concatenate([self.epsilon - y, self.epsilon + y]).astype(np.float32)
+        alpha, rho, iters = _smo_solve_general(
+            jnp.asarray(Q2),
+            jnp.asarray(y2),
+            jnp.full(2 * n, self.C, jnp.float32),
+            jnp.asarray(p2),
+            jnp.zeros(2 * n, jnp.float32),
+            self.eps,
+            min(self.max_iter, max(10_000_000, 100 * n)),
+        )
+        alpha = np.asarray(alpha, np.float64)
+        self.coef_ = alpha[:n] - alpha[n:]  # a - a*
+        self.rho_ = float(rho)
+        self.iters_ = int(iters)
+        return self
+
+    def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+
+    def score(self, gram_rows, y) -> float:
+        from ..metrics import r2_score
+
+        return r2_score(np.asarray(y, np.float64), self.predict(gram_rows))
+
+
+@dataclass
+class OneClassSVM:
+    """One-class SVM on a precomputed kernel (LIBSVM solve_one_class,
+    svm.cpp:1526-1558: bounds 1, sum(alpha) = nu * l, warm-started at the
+    LIBSVM initial point)."""
+
+    nu: float = 0.5
+    eps: float = 1e-3
+    max_iter: int = 10_000_000
+
+    def fit(self, gram: np.ndarray) -> "OneClassSVM":
+        gram = np.asarray(gram, dtype=np.float32)
+        n = len(gram)
+        alpha0 = np.zeros(n, dtype=np.float32)
+        budget = self.nu * n
+        full = int(budget)
+        alpha0[:full] = 1.0
+        if full < n:
+            alpha0[full] = budget - full
+        alpha, rho, iters = _smo_solve_general(
+            jnp.asarray(gram),
+            jnp.ones(n, jnp.float32),
+            jnp.ones(n, jnp.float32),
+            jnp.zeros(n, jnp.float32),
+            jnp.asarray(alpha0),
+            self.eps,
+            min(self.max_iter, max(10_000_000, 100 * n)),
+        )
+        self.coef_ = np.asarray(alpha, np.float64)
+        self.rho_ = float(rho)
+        self.iters_ = int(iters)
+        return self
+
+    def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
+        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+
+    def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        return np.where(self.decision_function(gram_rows) > 0, 1, -1)

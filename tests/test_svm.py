@@ -150,3 +150,40 @@ def test_integration_train_eval_linear(rng):
     res = train_eval_linear(X, Xt, y, yt, C=1.0)
     assert res["auc"] > 0.9
     assert res["acc"] > 0.85
+
+
+def test_epsilon_svr_matches_sklearn(rng):
+    from sklearn.svm import SVR
+
+    from fastsk_tpu.svm.kernel_svm import EpsilonSVR
+
+    n = 50
+    X = rng.normal(size=(n, 4))
+    y = X @ np.array([1.0, -2.0, 0.5, 0.0]) + 0.1 * rng.normal(size=n)
+    gram = (X @ X.T).astype(np.float64)
+    ours = EpsilonSVR(C=1.0, epsilon=0.1, eps=1e-5).fit(gram, y)
+    sk = SVR(kernel="precomputed", C=1.0, epsilon=0.1, tol=1e-5).fit(gram, y)
+    Xq = rng.normal(size=(20, 4))
+    gq = Xq @ X.T
+    np.testing.assert_allclose(ours.predict(gq), sk.predict(gq), atol=1e-3)
+
+
+def test_one_class_svm_matches_sklearn(rng):
+    from sklearn.svm import OneClassSVM as SkOneClass
+
+    from fastsk_tpu.svm.kernel_svm import OneClassSVM
+
+    n = 60
+    X = rng.normal(size=(n, 3))
+    gram = np.exp(-0.5 * np.sum((X[:, None] - X[None, :]) ** 2, -1))
+    ours = OneClassSVM(nu=0.3, eps=1e-6).fit(gram)
+    sk = SkOneClass(kernel="precomputed", nu=0.3, tol=1e-6).fit(gram)
+    Xq = np.concatenate([X[:10], X[:10] + 5.0])
+    gq = np.exp(-0.5 * np.sum((Xq[:, None] - X[None, :]) ** 2, -1))
+    np.testing.assert_allclose(
+        ours.decision_function(gq), sk.decision_function(gq), atol=1e-3
+    )
+    solid = np.abs(sk.decision_function(gq)) > 1e-3  # borderline signs may flip
+    np.testing.assert_array_equal(
+        ours.predict(gq)[solid], sk.predict(gq)[solid]
+    )

@@ -4,5 +4,12 @@ from .sharding import (
     default_mesh_shape,
     make_mesh,
 )
+from . import multihost
 
-__all__ = ["ROWS_AXIS", "THETA_AXIS", "default_mesh_shape", "make_mesh"]
+__all__ = [
+    "ROWS_AXIS",
+    "THETA_AXIS",
+    "default_mesh_shape",
+    "make_mesh",
+    "multihost",
+]

@@ -341,3 +341,203 @@ class OneClassSVM:
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
         return np.where(self.decision_function(gram_rows) > 0, 1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _smo_solve_nu(
+    Q: jnp.ndarray,  # [n, n] float32, Q = (y y^T) * K
+    y: jnp.ndarray,  # [n] float32 {-1, +1}
+    C_vec: jnp.ndarray,  # [n] upper bounds
+    p: jnp.ndarray,  # [n] linear term
+    alpha0: jnp.ndarray,  # feasible start (per-class sums fixed)
+    eps: float,
+    max_iter: int,
+):
+    """LIBSVM Solver_NU (svm.cpp:1029-1285): two equality constraints
+    (per-class alpha sums are separately conserved), so working-set pairs
+    are chosen within a class and the bias splits into rho and r.
+
+    Returns (alpha, rho, r, iters); decision uses rho, and for nu-SVC the
+    dual is rescaled by 1/r downstream (svm.cpp:1504-1524).
+    """
+    grad0 = Q @ alpha0 + p
+
+    def body(state):
+        alpha, grad, it, _ = state
+        qd = jnp.diagonal(Q)
+        # i candidates: y=+1 from {a < C} maximizing -G;
+        #               y=-1 from {a > 0} maximizing +G (svm.cpp:1049-1068)
+        upP = (y > 0) & (alpha < C_vec)
+        lowP = (y > 0) & (alpha > 0)
+        upN = (y < 0) & (alpha > 0)
+        lowN = (y < 0) & (alpha < C_vec)
+        sp = jnp.where(upP, -grad, _NEG_INF)
+        gmaxp = jnp.max(sp)
+        ip = jnp.argmax(sp)
+        sn = jnp.where(upN, grad, _NEG_INF)
+        gmaxn = jnp.max(sn)
+        in_ = jnp.argmax(sn)
+        gmaxp2 = jnp.max(jnp.where(lowP, grad, _NEG_INF))
+        gmaxn2 = jnp.max(jnp.where(lowN, -grad, _NEG_INF))
+
+        # j: global second-order choice across both classes (svm.cpp:1078-1127)
+        bP = gmaxp + grad
+        bN = gmaxn - grad
+        aP = qd[ip] + qd - 2.0 * Q[ip, :]
+        aN = qd[in_] + qd - 2.0 * Q[in_, :]
+        objP = -(bP * bP) / jnp.maximum(aP, _TAU)
+        objN = -(bN * bN) / jnp.maximum(aN, _TAU)
+        candP = lowP & (bP > 0)
+        candN = lowN & (bN > 0)
+        obj_all = jnp.where(candP, objP, jnp.where(candN, objN, -_NEG_INF))
+        j = jnp.argmin(obj_all)
+        i = jnp.where(y[j] > 0, ip, in_)
+
+        quad = qd[i] + qd[j] - 2.0 * Q[i, j]
+        quad = jnp.where(quad <= 0, _TAU, quad)
+        ai, aj = alpha[i], alpha[j]
+        delta = (grad[i] - grad[j]) / quad  # same-class pair update
+        s_term = ai + aj
+        lo_i = jnp.maximum(0.0, s_term - C_vec[j])
+        hi_i = jnp.minimum(C_vec[i], s_term)
+        new_ai = jnp.clip(ai - delta, lo_i, hi_i)
+        new_aj = s_term - new_ai
+        grad = grad + Q[i, :] * (new_ai - ai) + Q[j, :] * (new_aj - aj)
+        alpha = alpha.at[i].set(new_ai).at[j].set(new_aj)
+        viol = jnp.maximum(gmaxp + gmaxp2, gmaxn + gmaxn2)
+        return alpha, grad, it + 1, viol
+
+    def cond(state):
+        _, _, it, viol = state
+        return (it < max_iter) & (viol >= eps)
+
+    alpha, grad, iters, _ = jax.lax.while_loop(
+        cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+
+    # rho = (r1 + r2)/2, r = (r1 - r2)/2 from per-class free gradients
+    # (libsvm Solver_NU::calculate_rho, svm.cpp:1245-1285)
+    def class_r(cls):
+        mask = y == cls
+        free = mask & (alpha > 0) & (alpha < C_vec)
+        nfree = jnp.sum(free)
+        gsum = jnp.sum(jnp.where(free, grad * cls, 0.0))
+        ub = jnp.min(jnp.where(mask & (alpha < C_vec), grad * cls, -_NEG_INF))
+        lb = jnp.max(jnp.where(mask & (alpha > 0), grad * cls, _NEG_INF))
+        return jnp.where(nfree > 0, gsum / nfree, (ub + lb) / 2.0)
+
+    r1 = class_r(1.0)
+    r2 = class_r(-1.0)
+    rho = (r1 + r2) / 2.0
+    r = (r1 - r2) / 2.0
+    return alpha, rho, r, iters
+
+
+@dataclass
+class NuSVC:
+    """nu-SVC on a precomputed kernel (LIBSVM solve_nu_svc,
+    svm.cpp:1496-1524: Solver_NU then rescale the dual by 1/r)."""
+
+    nu: float = 0.5
+    eps: float = 1e-3
+    max_iter: int = 10_000_000
+
+    def fit(self, gram: np.ndarray, y) -> "NuSVC":
+        gram = np.asarray(gram, dtype=np.float32)
+        y = np.asarray(y)
+        classes = np.unique(y)
+        if len(classes) != 2:
+            raise ValueError(f"binary classification only; got {classes}")
+        self.classes_ = classes
+        ys = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
+        n = len(y)
+        n_pos = int((ys > 0).sum())
+        n_neg = n - n_pos
+        budget = self.nu * n / 2.0
+        if budget > min(n_pos, n_neg):
+            raise ValueError("nu is infeasible for this class balance")
+
+        # LIBSVM initial point: fill each class greedily up to the budget
+        alpha0 = np.zeros(n, dtype=np.float32)
+        for cls in (1.0, -1.0):
+            left = budget
+            for idx in np.flatnonzero(ys == cls):
+                take = min(1.0, left)
+                alpha0[idx] = take
+                left -= take
+                if left <= 0:
+                    break
+        Q = gram * np.outer(ys, ys)
+        alpha, rho, r, iters = _smo_solve_nu(
+            jnp.asarray(Q),
+            jnp.asarray(ys),
+            jnp.ones(n, jnp.float32),
+            jnp.zeros(n, jnp.float32),
+            jnp.asarray(alpha0),
+            self.eps,
+            min(self.max_iter, max(10_000_000, 100 * n)),
+        )
+        r = float(r)
+        scale = 1.0 / r if r != 0 else 1.0
+        self.alpha_y_ = np.asarray(alpha, np.float64) * ys * scale
+        self.rho_ = float(rho) * scale
+        self.iters_ = int(iters)
+        return self
+
+    def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
+        return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
+
+    def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        d = self.decision_function(gram_rows)
+        return np.where(d > 0, self.classes_[1], self.classes_[0])
+
+
+@dataclass
+class NuSVR:
+    """nu-SVR on a precomputed kernel (LIBSVM solve_nu_svr,
+    svm.cpp:1611-1655: 2n-variable Solver_NU, epsilon replaced by nu)."""
+
+    C: float = 1.0
+    nu: float = 0.5
+    eps: float = 1e-3
+    max_iter: int = 10_000_000
+
+    def fit(self, gram: np.ndarray, y) -> "NuSVR":
+        gram = np.asarray(gram, dtype=np.float32)
+        y = np.asarray(y, dtype=np.float32)
+        n = len(y)
+        K2 = np.block([[gram, gram], [gram, gram]])
+        y2 = np.concatenate([np.ones(n), -np.ones(n)]).astype(np.float32)
+        Q2 = K2 * np.outer(y2, y2)
+        p2 = np.concatenate([-y, y]).astype(np.float32)
+        # initial point: sum C*nu*l/2 spread per LIBSVM
+        alpha0 = np.zeros(2 * n, dtype=np.float32)
+        left = self.C * self.nu * n / 2.0
+        for i in range(n):
+            take = min(self.C, left)
+            alpha0[i] = alpha0[n + i] = take
+            left -= take
+            if left <= 0:
+                break
+        alpha, rho, r, iters = _smo_solve_nu(
+            jnp.asarray(Q2),
+            jnp.asarray(y2),
+            jnp.full(2 * n, self.C, jnp.float32),
+            jnp.asarray(p2),
+            jnp.asarray(alpha0),
+            self.eps,
+            min(self.max_iter, max(10_000_000, 200 * n)),
+        )
+        alpha = np.asarray(alpha, np.float64)
+        self.coef_ = alpha[:n] - alpha[n:]
+        self.rho_ = float(rho)
+        self.iters_ = int(iters)
+        return self
+
+    def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+
+    def score(self, gram_rows, y) -> float:
+        from ..metrics import r2_score
+
+        return r2_score(np.asarray(y, np.float64), self.predict(gram_rows))

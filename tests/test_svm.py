@@ -187,3 +187,39 @@ def test_one_class_svm_matches_sklearn(rng):
     np.testing.assert_array_equal(
         ours.predict(gq)[solid], sk.predict(gq)[solid]
     )
+
+
+def test_nu_svc_matches_sklearn(rng):
+    from sklearn.svm import NuSVC as SkNuSVC
+
+    from fastsk_tpu.svm.kernel_svm import NuSVC
+
+    n = 60
+    X = rng.normal(size=(n, 4))
+    y = (X[:, 0] + 0.4 * rng.normal(size=n) > 0).astype(int)
+    gram = (X @ X.T).astype(np.float64)
+    ours = NuSVC(nu=0.3, eps=1e-6).fit(gram, y)
+    sk = SkNuSVC(kernel="precomputed", nu=0.3, tol=1e-6).fit(gram, y)
+    Xq = rng.normal(size=(25, 4))
+    gq = Xq @ X.T
+    np.testing.assert_allclose(
+        ours.decision_function(gq), sk.decision_function(gq), atol=2e-3
+    )
+    solid = np.abs(sk.decision_function(gq)) > 1e-2
+    np.testing.assert_array_equal(ours.predict(gq)[solid], sk.predict(gq)[solid])
+
+
+def test_nu_svr_matches_sklearn(rng):
+    from sklearn.svm import NuSVR as SkNuSVR
+
+    from fastsk_tpu.svm.kernel_svm import NuSVR
+
+    n = 50
+    X = rng.normal(size=(n, 4))
+    y = X @ np.array([1.0, -2.0, 0.5, 0.0]) + 0.1 * rng.normal(size=n)
+    gram = (X @ X.T).astype(np.float64)
+    ours = NuSVR(C=1.0, nu=0.5, eps=1e-6).fit(gram, y)
+    sk = SkNuSVR(kernel="precomputed", C=1.0, nu=0.5, tol=1e-6).fit(gram, y)
+    Xq = rng.normal(size=(20, 4))
+    gq = Xq @ X.T
+    np.testing.assert_allclose(ours.predict(gq), sk.predict(gq), atol=5e-3)

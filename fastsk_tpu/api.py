@@ -231,6 +231,24 @@ class FastSK:
         self._fit_kernel_type = kernel_type
         self._model = KernelSVC(C=C, eps=eps, probability=True).fit(gram, y)
 
+    def _test_gram(self) -> np.ndarray:
+        """Test-vs-train Gram matrix under the fitted kernel_type."""
+        k = self._require_kernel()
+        ntr = self.n_str_train
+        rows_train = k[:ntr, :ntr]
+        rows_test = k[ntr:, :ntr]
+        kt = self._fit_kernel_type
+        if kt == "fastsk":
+            return rows_test
+        if kt == "linear":
+            return rows_test @ rows_train.T
+        gamma = 1.0 / max(ntr, 1)  # rbf
+        sq_tr = np.sum(rows_train**2, axis=1)
+        sq_te = np.sum(rows_test**2, axis=1)
+        return np.exp(
+            -gamma * (sq_te[:, None] + sq_tr[None, :] - 2 * rows_test @ rows_train.T)
+        )
+
     def score(self, metric: str = "auc") -> float:
         """Predict on the test block and report accuracy or AUROC
         (fastsk.cpp:418-530, minus the unconditional auc_file.txt side
@@ -243,25 +261,30 @@ class FastSK:
             raise RuntimeError("call fit() first")
         if self.test_labels is None:
             raise RuntimeError("test labels are required for score()")
-        k = self._require_kernel()
-        ntr = self.n_str_train
-        rows_train = k[:ntr, :ntr]
-        rows_test = k[ntr:, :ntr]
-        kt = self._fit_kernel_type
-        if kt == "fastsk":
-            gram_test = rows_test
-        elif kt == "linear":
-            gram_test = rows_test @ rows_train.T
-        else:  # rbf
-            gamma = 1.0 / max(ntr, 1)
-            sq_tr = np.sum(rows_train**2, axis=1)
-            sq_te = np.sum(rows_test**2, axis=1)
-            gram_test = np.exp(
-                -gamma * (sq_te[:, None] + sq_tr[None, :] - 2 * rows_test @ rows_train.T)
-            )
+        gram_test = self._test_gram()
         y_test = np.asarray(self.test_labels)
         probs = self._model.predict_proba(gram_test)[:, 1]
         preds = self._model.predict(gram_test)
         if metric == "auc":
             return auc_pairwise(y_test, probs)
         return accuracy_score(y_test, preds) * 100.0
+
+    def score_report(self) -> dict:
+        """Full scoring report: acc, AUROC, TPR/TNR/FNR/FPR — everything
+        the reference's score() prints (fastsk.cpp:508-529), as a dict."""
+        from .metrics import accuracy_score, auc_pairwise, confusion_rates
+
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        if self.test_labels is None:
+            raise RuntimeError("test labels are required")
+        gram_test = self._test_gram()
+        y = np.asarray(self.test_labels)
+        probs = self._model.predict_proba(gram_test)[:, 1]
+        preds = self._model.predict(gram_test)
+        out = {
+            "accuracy": accuracy_score(y, preds),
+            "auc": auc_pairwise(y, probs),
+        }
+        out.update(confusion_rates(y, preds))
+        return out

@@ -258,3 +258,37 @@ def train_eval_linear(
     probs = clf.predict_proba(np.asarray(K_test))[:, 1]
     acc = clf.score(np.asarray(K_test), np.asarray(Ytest))
     return {"acc": acc, "auc": roc_auc(np.asarray(Ytest), probs)}
+
+
+@dataclass
+class MulticlassLinearSVC:
+    """One-vs-rest linear SVC for multiclass workloads (the MADAR Arabic
+    dialect task, test/utils.py:307-369 — the reference leans on sklearn's
+    built-in OvR there)."""
+
+    C: float = 1.0
+    class_weight: Optional[str] = None
+
+    def fit(self, X, y) -> "MulticlassLinearSVC":
+        X = np.asarray(X, dtype=np.float32)
+        y = np.asarray(y)
+        self.classes_ = np.unique(y)
+        if len(self.classes_) < 2:
+            raise ValueError("need at least two classes")
+        self._models = []
+        for c in self.classes_:
+            yc = (y == c).astype(int)
+            self._models.append(
+                LinearSVC(C=self.C, class_weight=self.class_weight).fit(X, yc)
+            )
+        return self
+
+    def decision_function(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        return np.stack([m.decision_function(X) for m in self._models], axis=1)
+
+    def predict(self, X) -> np.ndarray:
+        return self.classes_[self.decision_function(X).argmax(axis=1)]
+
+    def score(self, X, y) -> float:
+        return float(np.mean(self.predict(X) == np.asarray(y)))

@@ -123,3 +123,30 @@ def test_fastsk_regressor(tmp_path, rng):
     reg = FastskRegressor("reg", data_locations=(str(tmp_path),))
     r2 = reg.train_and_test(g=6, m=2, approx=False)
     assert r2 > 0.8
+
+
+def test_multiclass_linear_svc(rng):
+    from fastsk_tpu.svm.linear import MulticlassLinearSVC
+
+    n, d = 160, 6
+    y = rng.integers(0, 4, n)
+    centers = rng.normal(size=(4, d)) * 3
+    X = centers[y] + rng.normal(size=(n, d))
+    m = MulticlassLinearSVC(C=1.0).fit(X, y)
+    Xt = centers[y] + rng.normal(size=(n, d))
+    assert m.score(Xt, y) > 0.9
+    assert m.decision_function(Xt).shape == (n, 4)
+
+
+def test_score_report(rng):
+    import test_integration as ti
+    from fastsk_tpu import FastSK
+
+    Xtr, Ytr = ti.make_synthetic_motif_data(rng, 25, 24)
+    Xte, Yte = ti.make_synthetic_motif_data(rng, 10, 24)
+    fsk = FastSK(g=6, m=2)
+    fsk.compute_kernel(Xtr, Xte, Ytr, Yte)
+    fsk.fit(C=1.0, kernel_type="fastsk")
+    rep = fsk.score_report()
+    assert set(rep) >= {"accuracy", "auc", "tpr", "tnr", "fpr", "fnr"}
+    assert rep["auc"] > 0.9

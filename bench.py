@@ -65,14 +65,21 @@ def main() -> None:
         f"c_i={engine.c_i} c_j={engine.c_j} strips={engine.n_strips_i}"
     )
 
-    # first call compiles; time the steady state
+    # first call compiles; report the best of three steady-state runs
+    # (each exact() rebuilds its device inputs, so remote-execution caches
+    # cannot shortcut the measurement; best-of defends against transient
+    # contention on shared devices)
     t0 = time.perf_counter()
     counts = engine.exact()
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
-    t0 = time.perf_counter()
-    counts = engine.exact()
-    wall = time.perf_counter() - t0
-    log(f"full exact kernel: {wall:.2f} s; K[0,0]={counts[0, 0]}")
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        counts = engine.exact()
+        walls.append(time.perf_counter() - t0)
+        log(f"steady run: {walls[-1]:.2f} s")
+    wall = min(walls)
+    log(f"full exact kernel (best of 3): {wall:.2f} s; K[0,0]={counts[0, 0]}")
 
     pairs = enc.n * (enc.n + 1) / 2 * total_passes
     log(f"pairs/s/chip: {pairs / wall:.3e}")

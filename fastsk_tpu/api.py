@@ -180,9 +180,24 @@ class FastSK:
         return self._iters
 
     def save_kernel(self, kernel_file: str) -> None:
-        """Write the kernel in the reference text format (fastsk.cpp:223-237):
-        one row per sequence of 1-indexed ``col:value`` pairs."""
+        """Write the kernel: the reference text format (fastsk.cpp:223-237,
+        one row of 1-indexed ``col:value`` pairs per sequence) by default,
+        or fast binary ``.npy``/``.npz`` (with counts + split sizes) when
+        the filename says so — the text format is quadratic in python-loop
+        time and impractical at 7k+ sequences."""
         k = self._require_kernel()
+        if kernel_file.endswith(".npy"):
+            np.save(kernel_file, k)
+            return
+        if kernel_file.endswith(".npz"):
+            np.savez_compressed(
+                kernel_file,
+                kernel=k,
+                counts=self._counts,
+                n_train=np.int64(self.n_str_train),
+                n_test=np.int64(self.n_str_test),
+            )
+            return
         n = k.shape[0]
         with open(kernel_file, "w") as f:
             for i in range(n):

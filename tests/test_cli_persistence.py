@@ -182,3 +182,17 @@ def test_stale_checkpoint_ignored(tmp_path, rng):
     ref = FastSK(g=6, m=2, config=KernelConfig(exact_engine="theta"))
     ref.compute_train(X2)
     np.testing.assert_array_equal(ref.kernel_counts, b.kernel_counts)
+
+
+def test_save_kernel_npz(rng, tmp_path):
+    from test_integration import make_synthetic_motif_data
+
+    X, _ = make_synthetic_motif_data(rng, 6, 16)
+    fsk = FastSK(g=5, m=1)
+    fsk.compute_train(X)
+    path = str(tmp_path / "k.npz")
+    fsk.save_kernel(path)
+    with np.load(path) as z:
+        np.testing.assert_allclose(z["kernel"], np.asarray(fsk.kernel))
+        np.testing.assert_array_equal(z["counts"], fsk.kernel_counts)
+        assert int(z["n_train"]) == 12

@@ -71,21 +71,36 @@ class FastSK:
         return SortedGkmEngine(enc, self.g, self.m, self.config)
 
     def _make_exact_engine(self, enc: EncodedSeqs):
-        """Exact mode prefers the all-pairs engine (single fused sweep over
-        window pairs, no C(g,m) pass loop); mesh execution and forced
-        selection use the theta engine."""
-        from .kernel.pairs_engine import PairsGkmEngine
+        """Exact mode prefers the all-pairs engines (single fused sweep over
+        window pairs, no C(g,m) pass loop): the seq-aligned one when
+        lengths are near-uniform, the packed one on ragged data or when
+        the seq-aligned int32 bound rejects the shape; the theta engine is
+        the forced/fallback path."""
+        from .kernel.pairs_engine import PackedPairsEngine, PairsGkmEngine
 
         choice = self.config.exact_engine
-        if choice not in ("auto", "pairs", "theta"):
+        if choice not in ("auto", "pairs", "packed", "theta"):
             raise ValueError(f"unknown exact_engine {choice!r}")
         if choice == "theta":
             return self._make_engine(enc)
+        if choice == "packed":
+            return PackedPairsEngine(enc, self.g, self.m, self.config)
+        windows = enc.num_windows(self.g)
+        waste = enc.n * ((int(windows.max()) + 7) // 8 * 8) / max(
+            int(((windows + 7) // 8 * 8).sum()), 1
+        )
         try:
+            if choice == "auto" and waste > 1.5 and self.config.mesh is None:
+                return PackedPairsEngine(enc, self.g, self.m, self.config)
             return PairsGkmEngine(enc, self.g, self.m, self.config)
         except ValueError:
             if choice == "pairs":
                 raise
+            try:
+                if self.config.mesh is None:
+                    return PackedPairsEngine(enc, self.g, self.m, self.config)
+            except ValueError:
+                pass
             return self._make_engine(enc)
 
     def _compute(self, enc: EncodedSeqs) -> None:

@@ -236,3 +236,108 @@ class PairsGkmEngine:
                 n_strips_j=self.n_strips_j,
             )
         return np.asarray(k_acc, dtype=np.int64)
+
+
+class PackedPairsEngine:
+    """Ragged-aware all-pairs exact engine (ops/pairs_packed.py).
+
+    Sequences sorted by descending length pack back to back (rows rounded
+    to 8), so D-matmul work tracks the true window count instead of
+    N * max_windows — up to ~35x less on SCOP/NLP data — and digit-plane
+    accumulation removes the seq-aligned engine's int32 per-pair bound.
+    """
+
+    TILE = 2048
+
+    def __init__(
+        self,
+        enc: EncodedSeqs,
+        g: int,
+        m: int,
+        config: Optional[KernelConfig] = None,
+    ):
+        from ..ops import pairs_packed
+
+        self.enc = enc
+        self.g = g
+        self.m = m
+        self.k = g - m
+        self.config = config or KernelConfig()
+        self.alpha = enc.hash_base
+        self.code_min = enc.code_min
+        self.n = enc.n
+
+        p_max = int(enc.num_windows(g).max())
+        if p_max**2 * 255 >= 2**31:
+            raise ValueError(
+                f"windows per sequence too large for int32 digit planes "
+                f"(p_max={p_max})"
+            )
+        self.n_digits = max(1, (math.comb(g, self.k).bit_length() + 7) // 8)
+
+        order = np.argsort(-np.asarray(enc.lengths), kind="stable")
+        self.order = order
+        lengths_sorted = np.asarray(enc.lengths)[order]
+        ids_sorted = np.asarray(enc.ids)[order]
+        self.pack = pairs_packed.pack_windows(lengths_sorted, g, self.TILE)
+        self.n_strips = self.pack["n_strips"]
+        self.c_max = self.pack["c_max"]
+        self.total_rows = self.pack["total_pad"]
+
+        dev = self.config.device
+        self._ids = jax.device_put(jnp.asarray(ids_sorted), dev)
+        self._seq_of = jax.device_put(jnp.asarray(self.pack["seq_of"]), dev)
+        self._win_of = jax.device_put(jnp.asarray(self.pack["win_of"]), dev)
+        self._first_seq = jax.device_put(jnp.asarray(self.pack["first_seq"]), dev)
+        self._bounds = jax.device_put(jnp.asarray(self.pack["bounds"]), dev)
+
+    def exact(self) -> np.ndarray:
+        from ..ops import pairs_packed
+        from ..utils.observe import Progress, timed
+
+        progress = Progress(quiet=self.config.quiet)
+        progress.log(
+            f"packed pairs exact: {self.n} sequences, {self.total_rows} "
+            f"window rows, strips={self.n_strips}, c_max={self.c_max}, "
+            f"digits={self.n_digits}"
+        )
+        n_pad = self.n + self.c_max
+        with timed(
+            progress, "packed pairs kernel",
+            self.n * (self.n + 1) / 2 * math.comb(self.g, self.k), "pairs",
+        ):
+            x = jax.jit(
+                pairs_packed.build_packed_x,
+                static_argnames=("g", "alpha", "code_min"),
+            )(
+                self._ids, self._seq_of, self._win_of,
+                g=self.g, alpha=self.alpha, code_min=self.code_min,
+            )
+            planes = tuple(
+                jnp.zeros((n_pad, n_pad), jnp.int32)
+                for _ in range(self.n_digits)
+            )
+            for a in range(self.n_strips):
+                planes = pairs_packed.packed_strip_update(
+                    planes,
+                    x,
+                    self._seq_of,
+                    self._first_seq,
+                    self._bounds,
+                    jnp.int32(a),
+                    g=self.g,
+                    k=self.k,
+                    tile=self.TILE,
+                    c_max=self.c_max,
+                    n_strips=self.n_strips,
+                    n_digits=self.n_digits,
+                )
+            k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+            for dig in range(self.n_digits):
+                k_sorted += (256**dig) * np.asarray(
+                    planes[dig], dtype=np.int64
+                )[: self.n, : self.n]
+        # undo the length sort
+        pos = np.empty(self.n, dtype=np.int64)
+        pos[self.order] = np.arange(self.n)
+        return k_sorted[np.ix_(pos, pos)]

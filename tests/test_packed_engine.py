@@ -1,0 +1,85 @@
+"""Packed (ragged) all-pairs engine vs the numpy oracle — exact equality."""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK, KernelConfig
+from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+from fastsk_tpu.ops.encode import encode_sequences
+
+import oracle
+from conftest import random_ragged_seqs
+
+
+@pytest.fixture
+def small_tile():
+    orig = PackedPairsEngine.TILE
+    PackedPairsEngine.TILE = 64
+    yield
+    PackedPairsEngine.TILE = orig
+
+
+@pytest.mark.parametrize(
+    "g,m,n,lmin,lmax,alpha",
+    [
+        (6, 3, 9, 8, 30, 4),
+        (5, 2, 12, 6, 60, 3),
+        (8, 4, 10, 10, 40, 20),  # protein-sized alphabet
+        (6, 5, 14, 7, 25, 30),  # text-sized alphabet
+    ],
+)
+def test_packed_matches_oracle(rng, small_tile, g, m, n, lmin, lmax, alpha):
+    X = random_ragged_seqs(rng, n, lmin, lmax, alphabet=alpha)
+    K_o = oracle.exact_counts(X, g, m)
+    eng = PackedPairsEngine(encode_sequences(X), g, m, KernelConfig())
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_strip_straddling_sequences(rng, small_tile):
+    """Sequences longer than a strip split across strips; the P/P^T
+    accumulation must count every ordered row pair exactly once."""
+    X = random_ragged_seqs(rng, 6, 100, 200, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PackedPairsEngine(encode_sequences(X), 6, 3, KernelConfig())
+    assert eng.n_strips > 5  # genuinely split
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_repetitive_and_mixed(rng, small_tile):
+    X = [[1] * 150, [1] * 150, [1, 2, 3, 4] * 40]
+    X += random_ragged_seqs(rng, 8, 8, 160, alphabet=4)
+    K_o = oracle.exact_counts(X, 5, 2)
+    eng = PackedPairsEngine(encode_sequences(X), 5, 2, KernelConfig())
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_multi_digit_planes(rng, small_tile):
+    """C(g, k) > 255 forces two digit planes."""
+    X = random_ragged_seqs(rng, 8, 18, 40, alphabet=4)
+    g, m = 12, 6  # C(12,6) = 924 -> 2 digits
+    eng = PackedPairsEngine(encode_sequences(X), g, m, KernelConfig())
+    assert eng.n_digits == 2
+    K_o = oracle.exact_counts(X, g, m)
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_api_routes_ragged_to_packed(rng):
+    """Heavily ragged data auto-routes to the packed engine and matches
+    the theta engine exactly through the public API."""
+    X = random_ragged_seqs(rng, 10, 8, 80, alphabet=4)
+    fsk = FastSK(g=6, m=2)
+    engine = fsk._make_exact_engine(encode_sequences(X))
+    assert type(engine).__name__ == "PackedPairsEngine"
+    fsk.compute_train(X)
+    ref = FastSK(g=6, m=2, config=KernelConfig(exact_engine="theta"))
+    ref.compute_train(X)
+    np.testing.assert_array_equal(ref.kernel_counts, fsk.kernel_counts)
+
+
+def test_api_guard_rejected_falls_to_packed(rng):
+    """Shapes over the seq-aligned int32 bound (long seqs, big C(g,k))
+    now go to the packed engine instead of the slow theta path."""
+    X = [rng.integers(1, 5, size=800).tolist() for _ in range(3)]
+    fsk = FastSK(g=16, m=10)
+    engine = fsk._make_exact_engine(encode_sequences(X))
+    assert type(engine).__name__ == "PackedPairsEngine"

@@ -73,7 +73,8 @@ def test_int32_bound_guard():
         PairsGkmEngine(enc, 16, 10)  # C(16,6) * p_pad^2 >> 2^31
     fsk = FastSK(g=16, m=10)
     engine = fsk._make_exact_engine(enc)
-    assert type(engine).__name__ == "DenseGkmEngine"
+    # the packed engine's digit planes have no per-pair bound
+    assert type(engine).__name__ == "PackedPairsEngine"
 
 
 def test_pallas_kernel_interpret_matches_oracle(rng):

@@ -101,13 +101,32 @@ def sorted_theta_pass(
         word = jnp.sum(proj[:, lo:hi] * weights, axis=1, dtype=jnp.int32)
         words.append(jnp.where(valid, word, SENTINEL))
 
-    # ---- sort by (words..., seq): runs group, pairs group within runs
-    sorted_ops = jax.lax.sort(
-        tuple(words) + (seq_of,), num_keys=n_words + 1
-    )
-    swords = sorted_ops[:-1]
-    sseq = sorted_ops[-1]
-    svalid = swords[0] != SENTINEL
+    # ---- sort by (words..., seq): runs group, pairs group within runs.
+    # When the last word has headroom, the sequence id packs into its low
+    # bits — one less sort operand, same lexicographic order.
+    last_digits = k - (n_words - 1) * dpw
+    seq_shift = 1 << max(n, 2).bit_length()
+    packed = (base**last_digits - 1) * seq_shift + (seq_shift - 1) < (1 << 31)
+    if packed:
+        last = jnp.where(
+            valid, words[-1] * seq_shift + seq_of, SENTINEL
+        )
+        sorted_ops = jax.lax.sort(
+            tuple(words[:-1]) + (last,), num_keys=n_words
+        )
+        spacked = sorted_ops[-1]
+        svalid = spacked != SENTINEL
+        sseq = jnp.where(svalid, spacked % seq_shift, 0)
+        swords = tuple(sorted_ops[:-1]) + (
+            jnp.where(svalid, spacked // seq_shift, SENTINEL),
+        )
+    else:
+        sorted_ops = jax.lax.sort(
+            tuple(words) + (seq_of,), num_keys=n_words + 1
+        )
+        swords = sorted_ops[:-1]
+        sseq = sorted_ops[-1]
+        svalid = swords[0] != SENTINEL
 
     def diff_prev(x):
         return jnp.concatenate([jnp.ones((1,), jnp.bool_), x[1:] != x[:-1]])

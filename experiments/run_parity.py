@@ -25,6 +25,10 @@ PUBLISHED = [
     ("1.1", 8, 4, 0.01, 0.853097, None),
     ("2.19", 8, 4, 0.01, 0.895062, None),
     ("MedLine", 5, 2, 1.0, 0.722526, None),
+    ("2.31", 15, 10, 0.01, None, None),
+    ("2.34", 6, 0, 10.0, None, None),
+    ("3.25", 15, 9, 100.0, 0.962927, 0.890481),
+    ("BioInfer", 11, 6, 1.0, None, None),
     ("AImed", 11, 4, 100.0, 0.716697, None),
 ]
 

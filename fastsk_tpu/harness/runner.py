@@ -169,3 +169,36 @@ def time_fastsk(
         proc.join()
         return float(timeout)
     return q.get()
+
+
+class FastskMulticlassRunner:
+    """TSV multiclass workflow (MADAR Arabic / DSL): kernel -> one-vs-rest
+    linear SVC on the EKM -> accuracy (the reference handles these sets
+    through sklearn's built-in OvR, test/utils.py:307-391)."""
+
+    def __init__(self, train_file: str, test_file: str, reader=None):
+        from ..io.readers import DslUtility
+
+        reader = reader or DslUtility()
+        self.train_seq, self.Ytrain = reader.read_data(train_file)
+        self.test_seq, self.Ytest = reader.read_data(test_file)
+
+    def train_and_test(
+        self,
+        g: int,
+        m: int,
+        approx: bool = True,
+        I: int = 50,
+        C: float = 1.0,
+        skip_variance: bool = True,
+    ) -> dict:
+        from ..svm.linear import MulticlassLinearSVC
+
+        fsk = FastSK(
+            g=g, m=m, approx=approx, max_iters=I, skip_variance=skip_variance
+        )
+        fsk.compute_kernel(self.train_seq, self.test_seq)
+        Xtrain = np.array(fsk.get_train_kernel())
+        Xtest = np.array(fsk.get_test_kernel())
+        clf = MulticlassLinearSVC(C=C).fit(Xtrain, self.Ytrain)
+        return {"acc": clf.score(Xtest, self.Ytest)}

@@ -150,3 +150,29 @@ def test_score_report(rng):
     rep = fsk.score_report()
     assert set(rep) >= {"accuracy", "auc", "tpr", "tnr", "fpr", "fnr"}
     assert rep["auc"] > 0.9
+
+
+def test_multiclass_runner_end_to_end(tmp_path, rng):
+    """TSV multiclass pipeline: 3 planted-motif dialects."""
+    motifs = {lab: rng.integers(0, 26, size=6) for lab in ("AAA", "BBB", "CCC")}
+
+    def make(n):
+        lines = []
+        for _ in range(n):
+            lab = ("AAA", "BBB", "CCC")[rng.integers(0, 3)]
+            s = rng.integers(0, 26, size=30)
+            pos = rng.integers(0, 24)
+            s[pos : pos + 6] = motifs[lab]
+            lines.append("".join(chr(97 + v) for v in s) + "\t" + lab)
+        return "\n".join(lines) + "\n"
+
+    (tmp_path / "tr.tsv").write_text(make(60))
+    (tmp_path / "te.tsv").write_text(make(24))
+
+    from fastsk_tpu.harness.runner import FastskMulticlassRunner
+
+    runner = FastskMulticlassRunner(
+        str(tmp_path / "tr.tsv"), str(tmp_path / "te.tsv")
+    )
+    res = runner.train_and_test(g=6, m=2, approx=False)
+    assert res["acc"] > 0.7

@@ -19,17 +19,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # (dataset, g, m, C, published exact AUC, published approx-conv AUC)
 PUBLISHED = [
+    # (dataset, g, m, C, published exact AUC, published approx-conv AUC)
+    # from results/spreadsheets/performance_results_summary.csv
+    ("1.1", 8, 4, 0.01, 0.853097, 0.850143),
+    ("1.34", 6, 2, 0.001, 1.0, 1.0),
+    ("2.19", 8, 4, 0.01, 0.895062, 0.886309),
+    ("2.31", 15, 10, 0.01, 0.999791, 0.998011),
+    ("2.34", 6, 0, 10.0, 0.971297, 0.971297),
+    ("2.41", 10, 6, 100.0, 0.920995, 0.865897),
+    ("2.8", 12, 8, 100.0, 0.886170, 0.870735),
+    ("3.19", 9, 2, 0.001, 0.988975, 0.660207),
+    ("3.25", 15, 9, 100.0, 0.962927, 0.890481),
+    ("3.33", 5, 1, 1.0, 0.995590, 0.995590),
+    ("CTCF", 13, 7, 1.0, 0.969578, 0.969645),
     ("EP300", 10, 4, 1.0, 0.990724, 0.990707),
     ("EP300_47848", 11, 5, 1.0, 0.953283, 0.952817),
-    ("CTCF", 13, 7, 1.0, 0.969578, None),
-    ("1.1", 8, 4, 0.01, 0.853097, None),
-    ("2.19", 8, 4, 0.01, 0.895062, None),
-    ("MedLine", 5, 2, 1.0, 0.722526, None),
-    ("2.31", 15, 10, 0.01, None, None),
-    ("2.34", 6, 0, 10.0, None, None),
-    ("3.25", 15, 9, 100.0, 0.962927, 0.890481),
-    ("BioInfer", 11, 6, 1.0, None, None),
-    ("AImed", 11, 4, 100.0, 0.716697, None),
+    ("JUND", 10, 3, 1.0, 0.968722, 0.967836),
+    ("KAT2B", 13, 7, 1.0, 0.921632, 0.921437),
+    ("Pbde", 5, 1, 0.001, 0.834853, 0.834853),
+    ("RAD21", 14, 8, 100.0, 0.974168, 0.974141),
+    ("SIN3A", 8, 2, 1.0, 0.911383, 0.911383),
+    ("TP53", 7, 2, 0.1, 0.823993, 0.823993),
+    ("ZZZ3", 10, 4, 0.1, 0.962853, 0.962860),
+    ("AImed", 11, 4, 100.0, 0.716697, 0.713640),
+    ("BioInfer", 5, 4, 10.0, 0.713228, 0.712796),
+    ("CC1-LLL", 5, 2, 0.001, 0.681164, 0.681164),
+    ("CC2-IEPA", 5, 3, 0.001, 0.711200, 0.711197),
+    ("CC3-HPRD50", 7, 4, 0.001, 0.647285, 0.647285),
+    ("DrugBank", 10, 2, 10.0, 0.998594, 0.620121),
+    ("MedLine", 5, 2, 1.0, 0.722526, 0.723046),
 ]
 
 

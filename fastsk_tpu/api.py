@@ -21,7 +21,6 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from .io.fasta import FastaUtility
 from .kernel.config import KernelConfig
 from .kernel.engine import ApproxResult, DenseGkmEngine, cosine_normalize
 from .kernel.sorted_engine import SortedGkmEngine

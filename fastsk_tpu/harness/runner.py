@@ -22,7 +22,7 @@ import numpy as np
 from ..api import FastSK
 from ..io.fasta import FastaUtility
 from ..kernel.config import KernelConfig
-from ..metrics import accuracy_score, roc_auc
+from ..metrics import roc_auc
 from ..svm.linear import CalibratedLinearSVC
 
 

@@ -9,7 +9,6 @@ all shapes static so the whole step jits onto the MXU.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ computes, with compiler-friendly static shapes.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

@@ -12,8 +12,8 @@ split sequences:
   stays bf16-exact,
 - stage 1 (rows -> i-sequences) is a 0/1 G-matmul built from the packed
   ``seq_of_row`` table,
-- stage 2 (columns -> j-sequences) is an exact f32 cumsum + boundary
-  gather (running sums stay < T * 255 < 2^24),
+- stage 2 (columns -> j-sequences) is an int32 cumsum + boundary
+  gather (running sums stay < T^2 * 255 < 2^31),
 - per-digit int32 kernel planes accumulate on device and combine into
   int64 on the host — there is NO per-pair int32 bound, so shapes the
   seq-aligned engine must refuse (AImed at g=11, 3.25 at g=15) run here.
@@ -26,7 +26,6 @@ is counted exactly once, including sequences straddling strip borders.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--save-model", metavar="PATH", help="write the fitted SVM (npz)")
     ap.add_argument("--checkpoint", metavar="PATH",
                     help="periodically checkpoint kernel computation; resumes if present")
+    ap.add_argument("--checkpoint-every", type=int, default=512,
+                    help="thetas between checkpoints")
     ap.add_argument("--no-svm", action="store_true", help="kernel computation only")
     ap.add_argument("--json", action="store_true", help="emit one JSON line of results")
     ap.add_argument("train_file")
@@ -69,7 +71,10 @@ def main(argv=None) -> int:
     Xtrain, Ytrain = reader.read_data(args.train_file)
     Xtest, Ytest = (reader.read_data(args.test_file) if args.test_file else ([], []))
 
-    config = KernelConfig(checkpoint_path=args.checkpoint)
+    config = KernelConfig(
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+    )
     fsk = FastSK(
         g=args.g,
         m=args.m,

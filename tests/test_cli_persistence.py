@@ -196,3 +196,19 @@ def test_save_kernel_npz(rng, tmp_path):
         np.testing.assert_allclose(z["kernel"], np.asarray(fsk.kernel))
         np.testing.assert_array_equal(z["counts"], fsk.kernel_counts)
         assert int(z["n_train"]) == 12
+
+
+def test_cli_checkpoint_flag(fasta_pair, tmp_path, capsys):
+    import json
+
+    tr, te = fasta_pair
+    ck = str(tmp_path / "cli_ck.npz")
+    cli_main(["-g", "8", "-m", "4", "-a", "-I", "10", "--json", "-q",
+              "--checkpoint", ck, "--checkpoint-every", "4", tr, te])
+    out1 = json.loads(capsys.readouterr().out.strip())
+    assert os.path.exists(ck)
+    # resuming from the finished checkpoint reproduces the same result
+    cli_main(["-g", "8", "-m", "4", "-a", "-I", "10", "--json", "-q",
+              "--checkpoint", ck, "--checkpoint-every", "4", tr, te])
+    out2 = json.loads(capsys.readouterr().out.strip())
+    assert out1["auc"] == out2["auc"]

@@ -267,13 +267,21 @@ class PackedPairsEngine:
         self.code_min = enc.code_min
         self.n = enc.n
 
+        # digit base: small enough that a per-plane kernel entry
+        # (p_i * p_j * (base-1)) stays int32-exact even for very long
+        # sequences (the reference caps lengths at 15000, shared.h:4)
         p_max = int(enc.num_windows(g).max())
-        if p_max**2 * 255 >= 2**31:
+        base = 256
+        while base > 2 and p_max**2 * (base - 1) >= 2**31:
+            base //= 2
+        if p_max**2 * (base - 1) >= 2**31:
             raise ValueError(
                 f"windows per sequence too large for int32 digit planes "
                 f"(p_max={p_max})"
             )
-        self.n_digits = max(1, (math.comb(g, self.k).bit_length() + 7) // 8)
+        self.digit_base = base
+        c_total = math.comb(g, self.k)
+        self.n_digits = max(1, math.ceil(math.log(c_total + 1, base)))
 
         order = np.argsort(-np.asarray(enc.lengths), kind="stable")
         self.order = order
@@ -331,10 +339,11 @@ class PackedPairsEngine:
                     c_max=self.c_max,
                     n_strips=self.n_strips,
                     n_digits=self.n_digits,
+                    digit_base=self.digit_base,
                 )
             k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
             for dig in range(self.n_digits):
-                k_sorted += (256**dig) * np.asarray(
+                k_sorted += (self.digit_base**dig) * np.asarray(
                     planes[dig], dtype=np.int64
                 )[: self.n, : self.n]
         # undo the length sort

@@ -116,7 +116,9 @@ def build_packed_x(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "k", "tile", "c_max", "n_strips", "n_digits"),
+    static_argnames=(
+        "g", "k", "tile", "c_max", "n_strips", "n_digits", "digit_base"
+    ),
 )
 def packed_strip_update(
     planes: Tuple[jnp.ndarray, ...],  # n_digits x [Np, Np] int32
@@ -132,6 +134,7 @@ def packed_strip_update(
     c_max: int,
     n_strips: int,
     n_digits: int,
+    digit_base: int = 256,
 ):
     """Accumulate digit planes for strip a against all strips b >= a.
 
@@ -164,8 +167,8 @@ def packed_strip_update(
         rem = w
         for dig in range(n_digits):
             if dig + 1 < n_digits:
-                q = jnp.floor(rem * (1.0 / 256.0))
-                digit = rem - q * 256.0
+                q = jnp.floor(rem * (1.0 / digit_base))
+                digit = rem - q * float(digit_base)
                 rem = q
             else:
                 digit = rem

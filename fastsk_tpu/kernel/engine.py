@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import gkm
-from ..ops.combinatorics import enumerate_combinations, nchoosek
+from ..ops.combinatorics import enumerate_combinations
 from ..ops.encode import EncodedSeqs
 from ..utils.observe import Progress, profiler_trace, timed
 from .config import KernelConfig

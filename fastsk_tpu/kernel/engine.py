@@ -98,14 +98,13 @@ class DenseGkmEngine:
             self._lengths = jax.device_put(jnp.asarray(enc.lengths), dev)
             self.n_padded = self.n
 
-        # Batches must keep sum_t Ks_t < 2^24 for exact f32 accumulation.
-        f32_exact_cap = (1 << 24) // max(self.p_max**2, 1)
-        if f32_exact_cap < 1:
-            raise ValueError(
-                f"per-theta kernel entries can exceed 2^24 (P={self.p_max}); "
-                "unsupported shape for the dense engine"
-            )
-        self.theta_batch = max(1, min(self.theta_batch, f32_exact_cap))
+        # Batches must keep sum_t Ks_t < 2^24 for exact f32 accumulation;
+        # beyond 4095 windows/sequence the count-digit-split path takes over
+        # (per-theta int32 grams, no batch bound).
+        self.count_split = self.p_max > 4095
+        if not self.count_split:
+            f32_exact_cap = max(1, (1 << 24) // max(self.p_max**2, 1))
+            self.theta_batch = max(1, min(self.theta_batch, f32_exact_cap))
         # Spill the int32 device accumulator to a host int64 buffer before
         # int32 could overflow.
         self.spill_every_thetas = max(
@@ -138,6 +137,7 @@ class DenseGkmEngine:
             count_dtype=self.count_dtype,
             row_chunk=self.row_chunk,
             matmul_dtype=self.matmul_dtype,
+            count_split=self.count_split,
         )
 
     # ---------------------------------------------------------- exact

@@ -168,6 +168,43 @@ def _counts_for_batch(
     return counts[:, :n, :]
 
 
+
+def _cross_gram_int32_split(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 ``A @ B^T`` for count matrices beyond the f32 range."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a_hi = jnp.floor(a * (1.0 / 256.0)); a_lo = a - a_hi * 256.0
+    b_hi = jnp.floor(b * (1.0 / 256.0)); b_lo = b - b_hi * 256.0
+    hh = jnp.matmul(a_hi, b_hi.T, preferred_element_type=jnp.float32)
+    hl = jnp.matmul(a_hi, b_lo.T, preferred_element_type=jnp.float32)
+    lh = jnp.matmul(a_lo, b_hi.T, preferred_element_type=jnp.float32)
+    ll = jnp.matmul(a_lo, b_lo.T, preferred_element_type=jnp.float32)
+    return (
+        hh.astype(jnp.int32) * 65536
+        + (hl + lh).astype(jnp.int32) * 256
+        + ll.astype(jnp.int32)
+    )
+
+
+def count_gram_int32(counts: jnp.ndarray, count_split: bool) -> jnp.ndarray:
+    """Exact int32 ``sum_t C_t @ C_t^T`` for a [T, N, B] f32/bf16 count batch.
+
+    Plain path: per-batch products stay below 2^24, one f32 einsum is
+    exact. Split path (windows-per-sequence > 4095): counts split into
+    8-bit digits and the three digit-product matmuls accumulate per theta
+    in int32, exact to 2^31 regardless of count magnitude.
+    """
+    if not count_split:
+        k_batch = jnp.einsum(
+            "tnb,tmb->nm", counts, counts, preferred_element_type=jnp.float32
+        )
+        return k_batch.astype(jnp.int32)
+
+    return jnp.sum(
+        jax.lax.map(lambda c: _cross_gram_int32_split(c, c), counts), axis=0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -180,6 +217,7 @@ def _counts_for_batch(
         "count_dtype",
         "row_chunk",
         "matmul_dtype",
+        "count_split",
     ),
 )
 def exact_batch_update(
@@ -197,6 +235,7 @@ def exact_batch_update(
     count_dtype,
     row_chunk: int,
     matmul_dtype,
+    count_split: bool = False,
 ) -> jnp.ndarray:
     """k_acc += sum_t C_t @ C_t.T for one theta batch (exact integers)."""
     counts = _counts_for_batch(
@@ -212,10 +251,7 @@ def exact_batch_update(
         count_dtype=count_dtype,
         row_chunk=row_chunk,
     ).astype(matmul_dtype)
-    k_batch = jnp.einsum(
-        "tnb,tmb->nm", counts, counts, preferred_element_type=jnp.float32
-    )
-    return k_acc + k_batch.astype(jnp.int32)
+    return k_acc + count_gram_int32(counts, count_split)
 
 
 @functools.partial(
@@ -232,6 +268,7 @@ def exact_batch_update(
         "matmul_dtype",
         "n_train",
         "check_variance",
+        "count_split",
     ),
 )
 def approx_batch_update(
@@ -253,6 +290,7 @@ def approx_batch_update(
     check_variance: bool,
     conv_delta: float,
     max_iters: int,
+    count_split: bool = False,
 ):
     """One theta batch of Monte-Carlo sampling with the reference stop rule.
 
@@ -289,10 +327,15 @@ def approx_batch_update(
 
     def step(carry, c_t):
         k_sum, mean, it, done = carry
-        ks = jnp.matmul(c_t, c_t.T, preferred_element_type=jnp.float32)
+        if count_split:
+            ks_int = _cross_gram_int32_split(c_t, c_t)
+            ks = ks_int.astype(jnp.float32)  # Welford stats only
+        else:
+            ks = jnp.matmul(c_t, c_t.T, preferred_element_type=jnp.float32)
+            ks_int = ks.astype(jnp.int32)
         it_new = it + 1
 
-        new_sum = k_sum + ks.astype(jnp.int32)
+        new_sum = k_sum + ks_int
 
         if check_variance:
             delta = ks - mean

@@ -108,6 +108,7 @@ def pad_theta_batch(thetas: np.ndarray, n_theta: int):
         "count_dtype",
         "row_chunk",
         "matmul_dtype",
+        "count_split",
     ),
 )
 def exact_batch_update_sharded(
@@ -127,6 +128,7 @@ def exact_batch_update_sharded(
     count_dtype,
     row_chunk: int,
     matmul_dtype,
+    count_split: bool = False,
 ) -> jnp.ndarray:
     """``k_acc += sum_theta C_theta @ C_theta^T`` over a (rows, theta) mesh."""
 
@@ -148,11 +150,21 @@ def exact_batch_update_sharded(
         counts = counts.astype(matmul_dtype)
         # column copies of the count matrices ride ICI once per batch
         counts_all = jax.lax.all_gather(counts, ROWS_AXIS, axis=1, tiled=True)
-        k_part = jnp.einsum(
-            "tnb,tmb->nm", counts, counts_all, preferred_element_type=jnp.float32
-        )
+        if count_split:
+            k_part = jnp.sum(
+                jax.lax.map(
+                    lambda cc: gkm._cross_gram_int32_split(cc[0], cc[1]),
+                    (counts, counts_all),
+                ),
+                axis=0,
+            )
+        else:
+            k_part = jnp.einsum(
+                "tnb,tmb->nm", counts, counts_all,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
         k_part = jax.lax.psum(k_part, THETA_AXIS)
-        return k_l + k_part.astype(jnp.int32)
+        return k_l + k_part
 
     return jax.shard_map(
         local,
@@ -183,6 +195,7 @@ def exact_batch_update_sharded(
         "matmul_dtype",
         "n_train",
         "check_variance",
+        "count_split",
     ),
 )
 def approx_batch_update_sharded(
@@ -205,6 +218,7 @@ def approx_batch_update_sharded(
     check_variance: bool,
     conv_delta: float,
     max_iters: int,
+    count_split: bool = False,
 ):
     """Rows-sharded Monte-Carlo batch with the reference stop rule.
 
@@ -245,9 +259,14 @@ def approx_batch_update_sharded(
         def step(carry, c_pair):
             k_sum, mean, it, done = carry
             c_l, c_all = c_pair
-            ks = jnp.matmul(c_l, c_all.T, preferred_element_type=jnp.float32)
+            if count_split:
+                ks_int = gkm._cross_gram_int32_split(c_l, c_all)
+                ks = ks_int.astype(jnp.float32)
+            else:
+                ks = jnp.matmul(c_l, c_all.T, preferred_element_type=jnp.float32)
+                ks_int = ks.astype(jnp.int32)
             it_new = it + 1
-            new_sum = k_sum + ks.astype(jnp.int32)
+            new_sum = k_sum + ks_int
 
             if check_variance:
                 delta = ks - mean

@@ -82,3 +82,44 @@ def test_spill_path(rng):
     engine.spill_every_thetas = 4
     counts = engine.exact()
     np.testing.assert_array_equal(counts, exact_counts(X, 6, 3))
+
+
+def test_dense_engine_count_split_long_sequences(rng):
+    """Windows/sequence beyond the f32-exact bound (p_max > 4095) use the
+    8-bit count-digit split; integers must stay exact, incl. heavy
+    repetition (large per-bucket counts)."""
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.kernel.engine import DenseGkmEngine
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    import oracle
+
+    X = [
+        ([1, 2] * 2500)[:4600],  # 4596 windows of a repeating motif
+        rng.integers(1, 4, size=4300).tolist(),
+        rng.integers(1, 4, size=4500).tolist(),
+    ]
+    g, m = 5, 2
+    enc = encode_sequences(X)
+    eng = DenseGkmEngine(enc, g, m, KernelConfig())
+    assert eng.count_split
+    thetas = enumerate_combinations(g, g - m)[:4]
+    ours = eng._sum_thetas(thetas)
+    want = oracle.counts_for_thetas(X, g, thetas)
+    np.testing.assert_array_equal(ours, want)
+
+
+def test_dense_engine_count_split_approx(rng):
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.kernel.engine import DenseGkmEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = [([1, 2, 3] * 1600)[:4400], rng.integers(1, 4, size=4200).tolist()]
+    enc = encode_sequences(X)
+    eng = DenseGkmEngine(enc, 5, 2, KernelConfig())
+    assert eng.count_split
+    res = eng.approx(max_iters=3, skip_variance=False, seed=1)
+    assert res.iters <= 3
+    res2 = eng.approx(max_iters=3, skip_variance=True, seed=1)
+    assert res2.counts.max() > 0

@@ -106,7 +106,8 @@ def sorted_theta_pass(
     # bits — one less sort operand, same lexicographic order.
     last_digits = k - (n_words - 1) * dpw
     seq_shift = 1 << max(n, 2).bit_length()
-    packed = (base**last_digits - 1) * seq_shift + (seq_shift - 1) < (1 << 31)
+    # strictly below SENTINEL so a maximal packed value can never collide
+    packed = (base**last_digits - 1) * seq_shift + (seq_shift - 1) < (1 << 31) - 1
     if packed:
         last = jnp.where(
             valid, words[-1] * seq_shift + seq_of, SENTINEL

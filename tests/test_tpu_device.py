@@ -1,0 +1,49 @@
+"""Real-device correctness (FASTSK_TEST_TPU=1): the compiled Pallas /
+Mosaic paths must equal the numpy oracle bit for bit — interpret-mode
+coverage in the hermetic suite does not exercise the MXU's bf16-pass
+lowering, which is where exactness bugs live (see pairs_pallas.py notes).
+"""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK, KernelConfig
+from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine, PairsGkmEngine
+from fastsk_tpu.ops.encode import encode_sequences
+
+import oracle
+from conftest import random_ragged_seqs
+
+pytestmark = pytest.mark.tpu
+
+
+def test_pallas_pairs_on_device(rng):
+    X = [rng.integers(1, 6, size=200).tolist() for _ in range(140)]
+    K_o = oracle.exact_counts(X, 8, 4)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 8, 4, KernelConfig(pairs_backend="pallas")
+    )
+    assert eng.backend == "pallas"
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_pairs_on_device(rng):
+    X = random_ragged_seqs(rng, 30, 20, 300, alphabet=20)
+    K_o = oracle.exact_counts(X, 8, 4)
+    eng = PackedPairsEngine(encode_sequences(X), 8, 4, KernelConfig())
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_dense_theta_on_device(rng):
+    X = random_ragged_seqs(rng, 25, 20, 60, alphabet=4)
+    fsk = FastSK(g=8, m=4, config=KernelConfig(exact_engine="theta"))
+    fsk.compute_train(X)
+    np.testing.assert_array_equal(oracle.exact_counts(X, 8, 4), fsk.kernel_counts)
+
+
+def test_sorted_on_device(rng):
+    from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
+
+    X = random_ragged_seqs(rng, 15, 15, 40, alphabet=25)
+    eng = SortedGkmEngine(encode_sequences(X), 8, 2, KernelConfig())
+    np.testing.assert_array_equal(oracle.exact_counts(X, 8, 2), eng.exact())

@@ -287,7 +287,12 @@ class PackedPairsEngine:
         self.order = order
         lengths_sorted = np.asarray(enc.lengths)[order]
         ids_sorted = np.asarray(enc.ids)[order]
-        self.pack = pairs_packed.pack_windows(lengths_sorted, g, self.TILE)
+        # adaptive tile: small alphabets make the per-tile D matmul cheap,
+        # so widen tiles to amortize loop overhead over more work
+        self.tile = self.TILE
+        if self.TILE >= 2048 and g * self.alpha <= 64:
+            self.tile = 2 * self.TILE
+        self.pack = pairs_packed.pack_windows(lengths_sorted, g, self.tile)
         self.n_strips = self.pack["n_strips"]
         self.c_max = self.pack["c_max"]
         self.total_rows = self.pack["total_pad"]
@@ -335,7 +340,7 @@ class PackedPairsEngine:
                     jnp.int32(a),
                     g=self.g,
                     k=self.k,
-                    tile=self.TILE,
+                    tile=self.tile,
                     c_max=self.c_max,
                     n_strips=self.n_strips,
                     n_digits=self.n_digits,

@@ -106,10 +106,14 @@ class DenseGkmEngine:
             f32_exact_cap = max(1, (1 << 24) // max(self.p_max**2, 1))
             self.theta_batch = max(1, min(self.theta_batch, f32_exact_cap))
         # Spill the int32 device accumulator to a host int64 buffer before
-        # int32 could overflow.
-        self.spill_every_thetas = max(
-            self.theta_batch, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2
-        )
+        # int32 could overflow: any run of thetas accumulated on device
+        # must keep sum_t Ks_t <= thetas * p_max^2 < 2^31 (with margin 2).
+        int32_safe = max(1, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2)
+        if self.count_split:
+            # count_split sums per-theta int32 grams inside a single batch,
+            # so the batch itself must respect the int32 bound
+            self.theta_batch = max(1, min(self.theta_batch, int32_safe))
+        self.spill_every_thetas = max(self.theta_batch, int32_safe)
 
     # ---------------------------------------------------------- sizing
 
@@ -165,7 +169,15 @@ class DenseGkmEngine:
             k_acc = jax.device_put(k_acc, self.config.device)
         kwargs = self._static_kwargs()
 
-        ckpt = self._checkpoint(f"sum:{len(thetas)}")
+        # the digest must pin the exact theta stream (content AND order):
+        # approx runs with different seeds, or an exact run of the same
+        # length, must never resume from each other's checkpoints
+        import hashlib
+
+        theta_tag = hashlib.sha256(
+            np.ascontiguousarray(thetas, dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        ckpt = self._checkpoint(f"sum:{len(thetas)}:{theta_tag}")
         since_ckpt = 0
         since_spill = 0
         i = 0
@@ -365,7 +377,7 @@ class DenseGkmEngine:
             counts=counts,
             iters=iters,
             stdevs=stdevs,
-            converged=bool(done_flag) and (max_iters == -1 or iters < max_iters or True),
+            converged=bool(done_flag) and (max_iters == -1 or iters < max_iters),
         )
 
 

@@ -288,10 +288,21 @@ class PackedPairsEngine:
         lengths_sorted = np.asarray(enc.lengths)[order]
         ids_sorted = np.asarray(enc.ids)[order]
         # adaptive tile: small alphabets make the per-tile D matmul cheap,
-        # so widen tiles to amortize loop overhead over more work
+        # so widen tiles to amortize loop overhead over more work.
+        # Widening must preserve the stage-2 int32 cumsum invariant of
+        # packed_strip_update: running sums are bounded by
+        # tile * min(tile, rows-per-sequence) * (digit_base - 1), which for
+        # the default tile=2048/base=256 is always < 2^31 but for a doubled
+        # tile only when sequences are short enough.
         self.tile = self.TILE
-        if self.TILE >= 2048 and g * self.alpha <= 64:
-            self.tile = 2 * self.TILE
+        p_rows_max = int(-(-p_max // 8) * 8)
+        wide = 2 * self.TILE
+        if (
+            self.TILE >= 2048
+            and g * self.alpha <= 64
+            and wide * min(wide, p_rows_max) * (base - 1) < 2**31
+        ):
+            self.tile = wide
         self.pack = pairs_packed.pack_windows(lengths_sorted, g, self.tile)
         self.n_strips = self.pack["n_strips"]
         self.c_max = self.pack["c_max"]

@@ -15,9 +15,10 @@ quotient is the integer C(d, k)) is exact in f32. Larger (g, k) shapes
 use the stepwise division form (binom_exact in ops/pairs.py), exact for
 every g <= 20.
 
-Exactness of the reductions: weights <= C(20,10) < 2^24 (f32 integers);
-the q-axis partial sums stay <= p_pad * C(g,k) < 2^24 (guarded by the
-engine); the final p-axis sums run in int32.
+Exactness of the reductions: weights <= C(20,10) < 2^24 (f32 integers,
+converted exactly to int32); both reduction stages run in int32, bounded
+by p_pad^2 * C(g,k) < 2^31 — the same bound the engine already guards for
+its int32 kernel entries, so every engine-admitted shape is exact here.
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ def _pairs_kernel(
     xi_ref,  # [TI, F] bf16
     xj_ref,  # [TJ, F] bf16
     out_ref,  # [1, 1, c_ti, c_tj] int32
-    s1_ref,  # [c_ti, TJ] f32 scratch
+    s1_ref,  # [c_ti, TJ] int32 scratch
     *,
     g: int,
     k: int,
@@ -93,16 +94,16 @@ def _pairs_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TI, chunk] — match counts, exact small integers
-            w = binom_weight(d, g, k)
+            w = binom_weight(d, g, k).astype(jnp.int32)
             # windows -> sequences, stage 1: sum over the p axis (sublane-
-            # group reshape-sum — exact f32: <= p_pad * C(g,k) < 2^24,
-            # engine-guarded)
+            # group reshape-sum) in int32 — exact to 2^31, covered by the
+            # engine's p_pad^2 * C(g,k) < 2^31 guard
             s1_ref[:, c * chunk : (c + 1) * chunk] = jnp.sum(
                 w.reshape(c_ti, p_pad, chunk), axis=1
             )
-        # stage 2: sum over the q axis in int32 (can exceed 2^24); the
-        # transpose keeps the group reshape on the sublane dim
-        s1t = s1_ref[:].astype(jnp.int32).T  # [tj, c_ti]
+        # stage 2: sum over the q axis in int32; the transpose keeps the
+        # group reshape on the sublane dim
+        s1t = s1_ref[:].T  # [tj, c_ti]
         out = jnp.sum(s1t.reshape(c_tj, p_pad, c_ti), axis=1)  # [c_tj, c_ti]
         out_ref[0, 0] = out.T
 
@@ -166,7 +167,7 @@ def pairs_kernel_blocks(
             (1, 1, c_ti, c_tj), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_i, n_j, c_ti, c_tj), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((c_ti, tj), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c_ti, tj), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * n_rows * f * 2, transcendentals=0
         ),

@@ -125,6 +125,9 @@ class FastSK:
         self._K = cosine_normalize(counts)
         self.n_str_train = enc.n_train
         self.n_str_test = enc.n_test
+        # total g-mer count across all sequences — the reference's nfeat
+        # (fastsk.cpp:117: features->n), used as the rbf gamma denominator
+        self.nfeat = int(enc.num_windows(self.g).sum())
 
     def compute_kernel(
         self,
@@ -228,37 +231,76 @@ class FastSK:
         nu: float = 0.5,
         eps: float = 0.001,
         kernel_type: str = "linear",
+        svm_type: str = "c_svc",
     ) -> None:
         """Train an SVM on the computed kernel (defaults match
         bindings.cpp:36-41). ``kernel_type``:
 
-        - "fastsk": C-SVC directly on the precomputed gkm kernel
-        - "linear": C-SVC with a linear kernel over kernel rows (the
+        - "fastsk": SVM directly on the precomputed gkm kernel
+        - "linear": SVM with a linear kernel over kernel rows (the
           reference's default — kernel rows as an empirical kernel map)
-        - "rbf":    C-SVC with an RBF kernel over kernel rows
-        """
-        from .svm.kernel_svm import KernelSVC
+        - "rbf":    SVM with an RBF kernel over kernel rows,
+          gamma = 1/nfeat (fastsk.cpp:273)
 
-        if self.train_labels is None:
+        ``svm_type`` selects the solver, like LIBSVM's -s
+        (svm_parameter.svm_type, svm.h:26; the reference's FastSK class
+        pins C_SVC, fastsk.hpp:19, but the full LIBSVM surface is part of
+        its capability set): "c_svc" (default), "nu_svc", "one_class",
+        "epsilon_svr", "nu_svr". ``nu`` parameterizes the nu_* and
+        one_class solvers — the reference accepts it but C_SVC ignores it.
+        Multiclass labels train one-vs-one automatically (svm.cpp:2163+).
+        """
+        from .svm.kernel_svm import (
+            EpsilonSVR,
+            KernelSVC,
+            NuSVC,
+            NuSVR,
+            OneClassSVM,
+        )
+
+        if svm_type not in ("c_svc", "nu_svc", "one_class", "epsilon_svr", "nu_svr"):
+            raise ValueError(
+                "svm_type must be one of c_svc, nu_svc, one_class, "
+                f"epsilon_svr, nu_svr; got {svm_type!r}"
+            )
+        needs_labels = svm_type != "one_class"
+        if needs_labels and self.train_labels is None:
             raise RuntimeError(
                 "labels are required: pass Ytrain to compute_kernel or call set_labels"
             )
         k = self._require_kernel()
         ntr = self.n_str_train
-        y = np.asarray(self.train_labels)
         rows_train = k[:ntr, :ntr]
         if kernel_type == "fastsk":
             gram = rows_train
         elif kernel_type == "linear":
             gram = rows_train @ rows_train.T
         elif kernel_type == "rbf":
-            gamma = 1.0 / max(ntr, 1)
+            gamma = 1.0 / max(self.nfeat, 1)
             sq = np.sum(rows_train**2, axis=1)
             gram = np.exp(-gamma * (sq[:, None] + sq[None, :] - 2 * rows_train @ rows_train.T))
         else:
             raise ValueError("kernel must be 'linear', 'fastsk', or 'rbf'")
         self._fit_kernel_type = kernel_type
-        self._model = KernelSVC(C=C, eps=eps, probability=True).fit(gram, y)
+        self._fit_svm_type = svm_type
+        if svm_type == "c_svc":
+            self._model = KernelSVC(C=C, eps=eps, probability=True).fit(
+                gram, np.asarray(self.train_labels)
+            )
+        elif svm_type == "nu_svc":
+            self._model = NuSVC(nu=nu, eps=eps, probability=True).fit(
+                gram, np.asarray(self.train_labels)
+            )
+        elif svm_type == "one_class":
+            self._model = OneClassSVM(nu=nu, eps=eps).fit(gram)
+        elif svm_type == "epsilon_svr":
+            self._model = EpsilonSVR(C=C, eps=eps).fit(
+                gram, np.asarray(self.train_labels)
+            )
+        else:  # nu_svr
+            self._model = NuSVR(C=C, nu=nu, eps=eps).fit(
+                gram, np.asarray(self.train_labels)
+            )
 
     def _test_gram(self) -> np.ndarray:
         """Test-vs-train Gram matrix under the fitted kernel_type."""
@@ -271,7 +313,7 @@ class FastSK:
             return rows_test
         if kt == "linear":
             return rows_test @ rows_train.T
-        gamma = 1.0 / max(ntr, 1)  # rbf
+        gamma = 1.0 / max(self.nfeat, 1)  # rbf, gamma=1/nfeat (fastsk.cpp:273)
         sq_tr = np.sum(rows_train**2, axis=1)
         sq_te = np.sum(rows_test**2, axis=1)
         return np.exp(
@@ -282,20 +324,33 @@ class FastSK:
         """Predict on the test block and report accuracy or AUROC
         (fastsk.cpp:418-530, minus the unconditional auc_file.txt side
         effect)."""
-        from .metrics import accuracy_score, auc_pairwise
+        from .metrics import accuracy_score, auc_pairwise, r2_score
 
-        if metric not in ("accuracy", "auc"):
-            raise ValueError("metric argument must be 'accuracy' or 'auc'")
+        if metric not in ("accuracy", "auc", "r2"):
+            raise ValueError("metric argument must be 'accuracy', 'auc', or 'r2'")
         if self._model is None:
             raise RuntimeError("call fit() first")
         if self.test_labels is None:
             raise RuntimeError("test labels are required for score()")
         gram_test = self._test_gram()
         y_test = np.asarray(self.test_labels)
-        probs = self._model.predict_proba(gram_test)[:, 1]
+        svm_type = getattr(self, "_fit_svm_type", "c_svc")
+        if svm_type in ("epsilon_svr", "nu_svr"):
+            if metric != "r2":
+                raise ValueError("regression models score with metric='r2'")
+            return r2_score(
+                y_test.astype(np.float64), self._model.predict(gram_test)
+            )
         preds = self._model.predict(gram_test)
         if metric == "auc":
+            if svm_type == "one_class" or len(self._model.classes_) != 2:
+                raise ValueError(
+                    "metric='auc' requires a binary classifier; use 'accuracy'"
+                )
+            probs = self._model.predict_proba(gram_test)[:, 1]
             return auc_pairwise(y_test, probs)
+        if metric == "r2":
+            raise ValueError("metric='r2' is for the SVR types")
         return accuracy_score(y_test, preds) * 100.0
 
     def score_report(self) -> dict:
@@ -309,11 +364,10 @@ class FastSK:
             raise RuntimeError("test labels are required")
         gram_test = self._test_gram()
         y = np.asarray(self.test_labels)
-        probs = self._model.predict_proba(gram_test)[:, 1]
         preds = self._model.predict(gram_test)
-        out = {
-            "accuracy": accuracy_score(y, preds),
-            "auc": auc_pairwise(y, probs),
-        }
-        out.update(confusion_rates(y, preds))
+        out = {"accuracy": accuracy_score(y, preds)}
+        if len(getattr(self._model, "classes_", [])) == 2:
+            probs = self._model.predict_proba(gram_test)[:, 1]
+            out["auc"] = auc_pairwise(y, probs)
+            out.update(confusion_rates(y, preds))
         return out

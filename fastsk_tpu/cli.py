@@ -28,8 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-t", type=int, default=-1,
                     help="accepted for reference parity; parallelism is device-mesh driven")
     ap.add_argument("-C", type=float, default=1.0, help="SVM C parameter")
+    ap.add_argument("--nu", type=float, default=0.5,
+                    help="nu parameter for nu_svc / nu_svr / one_class")
     ap.add_argument("-r", "--kernel-type", default="linear",
                     choices=["linear", "fastsk", "rbf"], help="SVM kernel over the gkm kernel")
+    ap.add_argument("-s", "--svm-type", default="c_svc",
+                    choices=["c_svc", "nu_svc", "one_class", "epsilon_svr", "nu_svr"],
+                    help="SVM solver type (LIBSVM -s)")
     ap.add_argument("-I", "--max-iters", type=int, default=-1,
                     help="max Monte-Carlo iterations in approx mode")
     ap.add_argument("-a", "--approx", action="store_true",
@@ -42,7 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--metric", default="both", choices=["auc", "accuracy", "both"])
     ap.add_argument("--save-kernel", metavar="PATH",
                     help="write the normalized kernel in the reference text format")
-    ap.add_argument("--save-model", metavar="PATH", help="write the fitted SVM (npz)")
+    ap.add_argument("--save-model", metavar="PATH",
+                    help="write the fitted SVM (npz, or LIBSVM text with "
+                         "--model-format libsvm)")
+    ap.add_argument("--model-format", default="npz", choices=["npz", "libsvm"],
+                    help="model persistence format")
     ap.add_argument("--checkpoint", metavar="PATH",
                     help="periodically checkpoint kernel computation; resumes if present")
     ap.add_argument("--checkpoint-every", type=int, default=512,
@@ -104,16 +113,24 @@ def main(argv=None) -> int:
     results = {"kernel_time_s": round(kernel_time, 3)}
     if not args.no_svm and Xtest and Ytest is not None:
         t0 = time.time()
-        fsk.fit(C=args.C, kernel_type=args.kernel_type)
+        fsk.fit(C=args.C, nu=args.nu, kernel_type=args.kernel_type,
+                svm_type=args.svm_type)
         results["svm_time_s"] = round(time.time() - t0, 3)
-        if args.metric in ("auc", "both"):
-            results["auc"] = round(fsk.score("auc"), 6)
-        if args.metric in ("accuracy", "both"):
-            results["accuracy"] = round(fsk.score("accuracy"), 4)
+        if args.svm_type in ("epsilon_svr", "nu_svr"):
+            results["r2"] = round(fsk.score("r2"), 6)
+        else:
+            import numpy as np
+
+            binary = len(np.unique(np.asarray(Ytrain))) == 2
+            if args.metric in ("auc", "both") and binary and args.svm_type != "one_class":
+                results["auc"] = round(fsk.score("auc"), 6)
+            if args.metric in ("accuracy", "both"):
+                results["accuracy"] = round(fsk.score("accuracy"), 4)
         if args.save_model:
             from .svm.kernel_svm import save_svm_model
 
-            save_svm_model(args.save_model, fsk._model)
+            save_svm_model(args.save_model, fsk._model,
+                           fmt=args.model_format, svm_type=args.svm_type)
 
     if args.json:
         print(json.dumps(results))

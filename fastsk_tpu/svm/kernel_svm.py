@@ -35,6 +35,16 @@ _NEG_INF = -1e30
 _TAU = 1e-12
 
 
+def _snap_bounds(alpha: jnp.ndarray, C_vec: jnp.ndarray) -> jnp.ndarray:
+    """Clamp alphas within 1e-6*C of a bound exactly onto it (f32 pair
+    updates leave machine-epsilon residues where LIBSVM's doubles are
+    exact; the rho/r free-SV averages must agree on the active set)."""
+    thr = 1e-6 * C_vec
+    return jnp.where(
+        alpha < thr, 0.0, jnp.where(alpha > C_vec - thr, C_vec, alpha)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def _smo_solve_general(
     Q: jnp.ndarray,  # [n, n] float32, Q = (y y^T) * K
@@ -112,7 +122,10 @@ def _smo_solve_general(
     alpha, grad, iters, _ = jax.lax.while_loop(
         cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
     )
-    # (continues below: rho from the final gradient)
+    # Snap f32 bound residues: LIBSVM's double updates leave alphas exactly
+    # at 0/C, ours can leave ~1e-7 leftovers on the pair partner, and those
+    # phantom "free" SVs would pollute the gradient-averaged rho.
+    alpha = _snap_bounds(alpha, C_vec)
 
     # rho (bias): average -y*grad over free SVs, else midpoint of bounds
     # (libsvm Solver::calculate_rho, svm.cpp:974-1004)
@@ -146,8 +159,30 @@ class KernelSVC:
         gram = np.asarray(gram, dtype=np.float32)
         y = np.asarray(y)
         classes = np.unique(y)
-        if len(classes) != 2:
-            raise ValueError(f"binary classification only; got classes {classes}")
+        if len(classes) < 2:
+            raise ValueError(f"need at least two classes; got {classes}")
+        if len(classes) > 2:
+            # one-vs-one multiclass, LIBSVM-style (svm.cpp:2163-2358);
+            # sklearn-ordered classes_, proba columns follow classes_
+            from .ovo import OneVsOneSVC
+
+            self._ovo = OneVsOneSVC(
+                lambda: KernelSVC(
+                    C=self.C,
+                    eps=self.eps,
+                    probability=False,
+                    max_iter=self.max_iter,
+                    class_weight=self.class_weight,
+                ),
+                probability=self.probability,
+                cv_folds=self.cv_folds,
+            ).fit(gram, y)
+            self.classes_ = classes
+            self._proba_order = np.array(
+                [self._ovo.classes_.index(c) for c in classes]
+            )
+            return self
+        self._ovo = None
         self.classes_ = classes
         y_signed = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
 
@@ -198,16 +233,23 @@ class KernelSVC:
         self.platt_ = sigmoid_train(dec, y_signed)
 
     def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
-        """gram_rows: K[new, train]."""
+        """gram_rows: K[new, train]. Multiclass: [n, C(nc,2)] pair
+        decisions in LIBSVM pair order."""
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.decision_function(gram_rows)
         return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.predict(gram_rows)
         d = self.decision_function(gram_rows)
         return np.where(d > 0, self.classes_[1], self.classes_[0])
 
     def predict_proba(self, gram_rows: np.ndarray) -> np.ndarray:
         if not self.probability:
             raise RuntimeError("fit with probability=True for predict_proba")
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.predict_proba(gram_rows)[:, self._proba_order]
         A, B = self.platt_
         p = sigmoid_predict(self.decision_function(gram_rows), A, B)
         return np.stack([1.0 - p, p], axis=1)
@@ -216,10 +258,22 @@ class KernelSVC:
         return float(np.mean(self.predict(gram_rows) == np.asarray(y)))
 
 
-def save_svm_model(path: str, model: "KernelSVC") -> None:
-    """Persist a fitted KernelSVC (npz; the reference's LIBSVM text format
-    save/load exists in svm.cpp:2672-3011 but is never wired to Python —
-    here persistence is a first-class API)."""
+def save_svm_model(
+    path: str, model: "KernelSVC", fmt: str = "npz", svm_type: str = "c_svc"
+) -> None:
+    """Persist a fitted model: fast ``npz`` (default) or the LIBSVM text
+    format (``fmt="libsvm"``, svm.cpp:2672-2758) for interop with tools
+    reading precomputed-kernel model files. The npz path only handles
+    binary KernelSVC; libsvm covers every solver type."""
+    if fmt == "libsvm":
+        from .libsvm_io import save_libsvm_model
+
+        save_libsvm_model(path, model, svm_type)
+        return
+    if fmt != "npz":
+        raise ValueError("fmt must be 'npz' or 'libsvm'")
+    if getattr(model, "_ovo", None) is not None:
+        raise ValueError("multiclass models persist via fmt='libsvm'")
     np.savez(
         path if path.endswith(".npz") else path + ".npz",
         kind=np.bytes_(b"kernel_svc"),
@@ -414,22 +468,26 @@ def _smo_solve_nu(
     alpha, grad, iters, _ = jax.lax.while_loop(
         cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
     )
+    alpha = _snap_bounds(alpha, C_vec)
 
-    # rho = (r1 + r2)/2, r = (r1 - r2)/2 from per-class free gradients
-    # (libsvm Solver_NU::calculate_rho, svm.cpp:1245-1285)
+    # per-class r from free-SV gradient averages, falling back to the
+    # midpoint of the strict bound sets — raw G for BOTH classes, exactly
+    # libsvm Solver_NU::calculate_rho (svm.cpp:1229-1280): ub from the
+    # lower-bound set (alpha == 0), lb from the upper-bound set (== C)
     def class_r(cls):
         mask = y == cls
         free = mask & (alpha > 0) & (alpha < C_vec)
         nfree = jnp.sum(free)
-        gsum = jnp.sum(jnp.where(free, grad * cls, 0.0))
-        ub = jnp.min(jnp.where(mask & (alpha < C_vec), grad * cls, -_NEG_INF))
-        lb = jnp.max(jnp.where(mask & (alpha > 0), grad * cls, _NEG_INF))
+        gsum = jnp.sum(jnp.where(free, grad, 0.0))
+        ub = jnp.min(jnp.where(mask & (alpha <= 0), grad, -_NEG_INF))
+        lb = jnp.max(jnp.where(mask & (alpha >= C_vec), grad, _NEG_INF))
         return jnp.where(nfree > 0, gsum / nfree, (ub + lb) / 2.0)
 
     r1 = class_r(1.0)
     r2 = class_r(-1.0)
-    rho = (r1 + r2) / 2.0
-    r = (r1 - r2) / 2.0
+    # svm.cpp:1276-1279: si->rho = (r1 - r2)/2, si->r = (r1 + r2)/2
+    rho = (r1 - r2) / 2.0
+    r = (r1 + r2) / 2.0
     return alpha, rho, r, iters
 
 
@@ -440,14 +498,40 @@ class NuSVC:
 
     nu: float = 0.5
     eps: float = 1e-3
+    probability: bool = False
     max_iter: int = 10_000_000
+    cv_folds: int = 5
 
     def fit(self, gram: np.ndarray, y) -> "NuSVC":
         gram = np.asarray(gram, dtype=np.float32)
         y = np.asarray(y)
         classes = np.unique(y)
-        if len(classes) != 2:
-            raise ValueError(f"binary classification only; got {classes}")
+        if len(classes) < 2:
+            raise ValueError(f"need at least two classes; got {classes}")
+        if len(classes) > 2:
+            from .ovo import OneVsOneSVC
+
+            self._ovo = OneVsOneSVC(
+                lambda: NuSVC(nu=self.nu, eps=self.eps, max_iter=self.max_iter),
+                probability=self.probability,
+                cv_folds=self.cv_folds,
+            ).fit(gram, y)
+            self.classes_ = classes
+            self._proba_order = np.array(
+                [self._ovo.classes_.index(c) for c in classes]
+            )
+            return self
+        self._ovo = None
+        if self.probability:
+            from .ovo import platt_cv_binary
+
+            ys01 = np.where(y == classes[1], 1.0, -1.0)
+            self.platt_ = platt_cv_binary(
+                lambda: NuSVC(nu=self.nu, eps=self.eps, max_iter=self.max_iter),
+                np.asarray(gram, np.float64),
+                ys01,
+                self.cv_folds,
+            )
         self.classes_ = classes
         ys = np.where(y == classes[1], 1.0, -1.0).astype(np.float32)
         n = len(y)
@@ -485,11 +569,24 @@ class NuSVC:
         return self
 
     def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.decision_function(gram_rows)
         return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.predict(gram_rows)
         d = self.decision_function(gram_rows)
         return np.where(d > 0, self.classes_[1], self.classes_[0])
+
+    def predict_proba(self, gram_rows: np.ndarray) -> np.ndarray:
+        if not self.probability:
+            raise RuntimeError("fit with probability=True for predict_proba")
+        if getattr(self, "_ovo", None) is not None:
+            return self._ovo.predict_proba(gram_rows)[:, self._proba_order]
+        A, B = self.platt_
+        p = sigmoid_predict(self.decision_function(gram_rows), A, B)
+        return np.stack([1.0 - p, p], axis=1)
 
 
 @dataclass

@@ -89,15 +89,14 @@ class FastSK:
             int(((windows + 7) // 8 * 8).sum()), 1
         )
         try:
-            if choice == "auto" and waste > 1.5 and self.config.mesh is None:
+            if choice == "auto" and waste > 1.5:
                 return PackedPairsEngine(enc, self.g, self.m, self.config)
             return PairsGkmEngine(enc, self.g, self.m, self.config)
         except ValueError:
             if choice == "pairs":
                 raise
             try:
-                if self.config.mesh is None:
-                    return PackedPairsEngine(enc, self.g, self.m, self.config)
+                return PackedPairsEngine(enc, self.g, self.m, self.config)
             except ValueError:
                 pass
             return self._make_engine(enc)

@@ -208,7 +208,15 @@ class DenseGkmEngine:
         return host_acc
 
     def _sum_thetas_sharded(self, thetas: np.ndarray) -> np.ndarray:
-        """Mesh-parallel exact sum: rows x theta sharding, psum merge."""
+        """Mesh-parallel exact sum: rows x theta sharding, psum merge.
+
+        Checkpointing mirrors the single-device path: the host int64
+        accumulator plus the work-queue cursor persist under a digest that
+        pins the exact theta stream, so a multi-chip run interrupted
+        mid-queue resumes without recomputation.
+        """
+        import hashlib
+
         from ..parallel import sharding as shd
 
         mesh = self.mesh
@@ -219,11 +227,20 @@ class DenseGkmEngine:
         batch_sz = max(self.theta_batch, 1) * n_theta
         kwargs = self._static_kwargs()
 
+        theta_tag = hashlib.sha256(
+            np.ascontiguousarray(thetas, dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        ckpt = self._checkpoint(f"sum_sharded:{len(thetas)}:{theta_tag}")
+        since_ckpt = 0
+
         host_acc = np.zeros((np_pad, np_pad), dtype=np.int64)
         k_acc = jnp.zeros((np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding)
         since_spill = 0
         i = 0
         total = len(thetas)
+        if ckpt is not None and (saved := ckpt.load()) is not None:
+            host_acc = saved["host_acc"].copy()
+            i = int(saved["next_theta"])
         while i < total:
             t = min(batch_sz, total - i)
             batch, mask = shd.pad_theta_batch(
@@ -240,12 +257,21 @@ class DenseGkmEngine:
             )
             i += t
             since_spill += t
+            since_ckpt += t
             if since_spill >= self.spill_every_thetas:
                 host_acc += np.asarray(k_acc, dtype=np.int64)
                 k_acc = jnp.zeros(
                     (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
                 )
                 since_spill = 0
+            if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
+                host_acc += np.asarray(k_acc, dtype=np.int64)
+                k_acc = jnp.zeros(
+                    (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
+                )
+                since_spill = 0
+                since_ckpt = 0
+                ckpt.save(host_acc=host_acc, next_theta=np.int64(i))
         host_acc += np.asarray(k_acc, dtype=np.int64)
         return host_acc[: self.n, : self.n]
 

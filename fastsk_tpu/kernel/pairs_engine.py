@@ -248,6 +248,7 @@ class PackedPairsEngine:
     """
 
     TILE = 2048
+    GROUP = 8  # b strips per fused-Pallas call (amortizes op dispatch)
 
     def __init__(
         self,
@@ -303,9 +304,36 @@ class PackedPairsEngine:
             and wide * min(wide, p_rows_max) * (base - 1) < 2**31
         ):
             self.tile = wide
-        self.pack = pairs_packed.pack_windows(lengths_sorted, g, self.tile)
+        # backend: the fully-fused grouped Pallas path on TPU
+        # (ops/pairs_packed_pallas.py) when the strips fit the VMEM budget;
+        # the blocked XLA path otherwise. Integer results are identical.
+        backend = self.config.pairs_backend
+        self.interpret = backend == "pallas_interpret"
+        if self.interpret:
+            backend = "pallas"
+        if backend == "auto":
+            f = g * self.alpha
+            # xa double-buffered + D chunk + digit temps + stage-1 out
+            vmem_ok = 2 * self.tile * f * 2 + 10 * 2**20 <= 15 * 2**20
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and vmem_ok
+                else "xla"
+            )
+        self.backend = backend
+        self.mesh = self.config.mesh
+        # dispatch-amortization group for the fused path (the mesh path
+        # still drives the per-strip s1 kernel, group 1)
+        self.group = (
+            self.GROUP if backend == "pallas" and self.mesh is None else 1
+        )
+
+        self.pack = pairs_packed.pack_windows(
+            lengths_sorted, g, self.tile, self.group
+        )
         self.n_strips = self.pack["n_strips"]
         self.c_max = self.pack["c_max"]
+        self.c_pad = -(-self.c_max // 16) * 16
         self.total_rows = self.pack["total_pad"]
 
         dev = self.config.device
@@ -321,11 +349,11 @@ class PackedPairsEngine:
 
         progress = Progress(quiet=self.config.quiet)
         progress.log(
-            f"packed pairs exact: {self.n} sequences, {self.total_rows} "
-            f"window rows, strips={self.n_strips}, c_max={self.c_max}, "
-            f"digits={self.n_digits}"
+            f"packed pairs exact ({self.backend}): {self.n} sequences, "
+            f"{self.total_rows} window rows, strips={self.n_strips}, "
+            f"c_max={self.c_max}, digits={self.n_digits}"
         )
-        n_pad = self.n + self.c_max
+        n_pad = self.n + self.c_pad
         with timed(
             progress, "packed pairs kernel",
             self.n * (self.n + 1) / 2 * math.comb(self.g, self.k), "pairs",
@@ -337,32 +365,96 @@ class PackedPairsEngine:
                 self._ids, self._seq_of, self._win_of,
                 g=self.g, alpha=self.alpha, code_min=self.code_min,
             )
-            planes = tuple(
-                jnp.zeros((n_pad, n_pad), jnp.int32)
-                for _ in range(self.n_digits)
-            )
-            for a in range(self.n_strips):
-                planes = pairs_packed.packed_strip_update(
-                    planes,
-                    x,
-                    self._seq_of,
-                    self._first_seq,
-                    self._bounds,
-                    jnp.int32(a),
-                    g=self.g,
-                    k=self.k,
-                    tile=self.tile,
-                    c_max=self.c_max,
-                    n_strips=self.n_strips,
-                    n_digits=self.n_digits,
-                    digit_base=self.digit_base,
+            if self.mesh is not None:
+                k_sorted = self._exact_sharded_planes(x, n_pad)
+            else:
+                planes = tuple(
+                    jnp.zeros((n_pad, n_pad), jnp.int32)
+                    for _ in range(self.n_digits)
                 )
-            k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
-            for dig in range(self.n_digits):
-                k_sorted += (self.digit_base**dig) * np.asarray(
-                    planes[dig], dtype=np.int64
-                )[: self.n, : self.n]
+                if self.backend == "pallas":
+                    gb_all = jax.jit(
+                        pairs_packed.build_gb_all,
+                        static_argnames=("tile", "c_pad"),
+                    )(
+                        self._seq_of, self._first_seq,
+                        tile=self.tile, c_pad=self.c_pad,
+                    )
+                    for a in range(self.n_strips):
+                        planes = pairs_packed.packed_strip_update_grouped(
+                            planes, x, self._seq_of, gb_all,
+                            self._first_seq, jnp.int32(a),
+                            g=self.g, k=self.k, tile=self.tile,
+                            c_pad=self.c_pad, n_strips=self.n_strips,
+                            n_digits=self.n_digits,
+                            digit_base=self.digit_base,
+                            group=self.group, interpret=self.interpret,
+                        )
+                else:
+                    for a in range(self.n_strips):
+                        planes = pairs_packed.packed_strip_update(
+                            planes,
+                            x,
+                            self._seq_of,
+                            self._first_seq,
+                            self._bounds,
+                            jnp.int32(a),
+                            g=self.g,
+                            k=self.k,
+                            tile=self.tile,
+                            c_max=self.c_max,
+                            n_strips=self.n_strips,
+                            n_digits=self.n_digits,
+                            digit_base=self.digit_base,
+                            backend="xla",
+                            interpret=False,
+                        )
+                k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+                for dig in range(self.n_digits):
+                    k_sorted += (self.digit_base**dig) * np.asarray(
+                        planes[dig], dtype=np.int64
+                    )[: self.n, : self.n]
         # undo the length sort
         pos = np.empty(self.n, dtype=np.int64)
         pos[self.order] = np.arange(self.n)
         return k_sorted[np.ix_(pos, pos)]
+
+    def _exact_sharded_planes(self, x, n_pad: int) -> np.ndarray:
+        """Mesh-parallel strips, round-robin: each device accumulates its
+        strips' contributions into a private digit-plane replica; the host
+        sums replicas (each (a, b) pair lands on exactly one device)."""
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        dev_sharding = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec(
+                (shd.ROWS_AXIS, shd.THETA_AXIS), None, None, None
+            ),
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        planes_dev = jnp.zeros(
+            (n_dev, self.n_digits, n_pad, n_pad), jnp.int32,
+            device=dev_sharding,
+        )
+        x = jax.device_put(x, rep)
+        seq_of = jax.device_put(self._seq_of, rep)
+        first_seq = jax.device_put(self._first_seq, rep)
+        bounds = jax.device_put(self._bounds, rep)
+        spd = -(-self.n_strips // n_dev)  # rounds
+        for ridx in range(spd):
+            planes_dev = shd.packed_round_sharded(
+                planes_dev, x, seq_of, first_seq, bounds, jnp.int32(ridx),
+                mesh=mesh, g=self.g, k=self.k, tile=self.tile,
+                c_max=self.c_max, n_strips=self.n_strips,
+                n_digits=self.n_digits, digit_base=self.digit_base,
+                backend=self.backend,
+            )
+        planes_host = np.asarray(planes_dev, dtype=np.int64).sum(axis=0)
+        k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+        for dig in range(self.n_digits):
+            k_sorted += (self.digit_base**dig) * planes_host[dig][
+                : self.n, : self.n
+            ]
+        return k_sorted

@@ -25,7 +25,11 @@ import numpy as np
 
 from ..ops.combinatorics import enumerate_combinations
 from ..ops.encode import EncodedSeqs
-from ..ops.sorted_theta import hash_plan, sorted_theta_pass
+from ..ops.sorted_theta import (
+    hash_plan,
+    sorted_theta_pass,
+    sorted_theta_pass_batch,
+)
 from .config import KernelConfig
 from .engine import ApproxResult
 
@@ -113,13 +117,17 @@ class SortedGkmEngine:
 
         # per-pass kernel entries are bounded by p_i * p_j <= p_max^2
         self.spill_every = max(1, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2)
+        # thetas per batched pass: one wide sort + batched count-matmuls
+        # amortize the sort launch (the per-pass bottleneck); bounded by
+        # the [T, n, n] output footprint and the int32 spill bound
+        tb = self.config.theta_batch or max(
+            1, min(8, (256 << 20) // max(self.n * self.n * 4, 1))
+        )
+        self.theta_batch = max(1, min(tb, self.spill_every))
+        self.mesh = self.config.mesh
 
-    def _pass(self, theta: np.ndarray) -> jnp.ndarray:
-        return sorted_theta_pass(
-            self._windows,
-            self._valid,
-            self._seq_of,
-            jnp.asarray(theta, dtype=jnp.int32),
+    def _static_kwargs(self) -> dict:
+        return dict(
             g=self.g,
             base=self.base,
             code_min=self.code_min,
@@ -131,22 +139,105 @@ class SortedGkmEngine:
             count_split=self.p_max > 255,
         )
 
+    def _pass(self, theta: np.ndarray) -> jnp.ndarray:
+        return sorted_theta_pass(
+            self._windows,
+            self._valid,
+            self._seq_of,
+            jnp.asarray(theta, dtype=jnp.int32),
+            **self._static_kwargs(),
+        )
+
+    def _pass_batch(self, thetas: np.ndarray) -> jnp.ndarray:
+        """[T, n, n] int32, each slice bit-identical to _pass(theta)."""
+        return sorted_theta_pass_batch(
+            self._windows,
+            self._valid,
+            self._seq_of,
+            jnp.asarray(thetas, dtype=jnp.int32),
+            **self._static_kwargs(),
+        )
+
     # ------------------------------------------------------------- exact
 
-    def exact(self) -> np.ndarray:
-        thetas = enumerate_combinations(self.g, self.k)
+    def _sum_stream(self, thetas: np.ndarray) -> np.ndarray:
+        """Exact integer sum over a theta stream, batched, int64 on host."""
+        if self.mesh is not None:
+            return self._sum_stream_sharded(thetas)
         host = np.zeros((self.n, self.n), dtype=np.int64)
         k_acc = jnp.zeros((self.n, self.n), jnp.int32)
         since = 0
-        for theta in thetas:
-            k_acc = k_acc + self._pass(theta)
-            since += 1
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(self.theta_batch, total - i, self.spill_every - since)
+            if t == self.theta_batch:
+                ks = jnp.sum(self._pass_batch(thetas[i : i + t]), axis=0)
+            else:
+                ks = self._pass(thetas[i])
+                t = 1
+            k_acc = k_acc + ks
+            i += t
+            since += t
             if since >= self.spill_every:
                 host += np.asarray(k_acc, dtype=np.int64)
                 k_acc = jnp.zeros_like(k_acc)
                 since = 0
         host += np.asarray(k_acc, dtype=np.int64)
         return host
+
+    def _sum_stream_sharded(self, thetas: np.ndarray) -> np.ndarray:
+        """Theta-sharded exact sum: each device runs whole batched passes
+        into a private replica; the host sums replicas."""
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        dev_sharding = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec(
+                (shd.ROWS_AXIS, shd.THETA_AXIS), None, None
+            ),
+        )
+        host = np.zeros((self.n, self.n), dtype=np.int64)
+        k_dev = jnp.zeros(
+            (n_dev, self.n, self.n), jnp.int32, device=dev_sharding
+        )
+        per_step = n_dev * self.theta_batch
+        total = len(thetas)
+        since = 0
+        for i in range(0, total, per_step):
+            chunk = thetas[i : i + per_step]
+            t_pad = -(-len(chunk) // n_dev) * n_dev
+            live = np.zeros(t_pad, dtype=np.int32)
+            live[: len(chunk)] = 1
+            if t_pad > len(chunk):
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:1], t_pad - len(chunk), 0)]
+                )
+            k_dev = shd.sorted_batch_sharded(
+                k_dev,
+                self._windows,
+                self._valid,
+                self._seq_of,
+                jnp.asarray(chunk.reshape(n_dev, -1, self.k)),
+                jnp.asarray(live.reshape(n_dev, -1)),
+                mesh=mesh,
+                **self._static_kwargs(),
+            )
+            since += t_pad // n_dev
+            if since >= self.spill_every:
+                host += np.asarray(k_dev, dtype=np.int64).sum(axis=0)
+                k_dev = jnp.zeros(
+                    (n_dev, self.n, self.n), jnp.int32, device=dev_sharding
+                )
+                since = 0
+        host += np.asarray(k_dev, dtype=np.int64).sum(axis=0)
+        return host
+
+    def exact(self) -> np.ndarray:
+        thetas = enumerate_combinations(self.g, self.k)
+        return self._sum_stream(thetas)
 
     # ------------------------------------------------------------- approx
 
@@ -164,17 +255,7 @@ class SortedGkmEngine:
 
         if skip_variance:
             limit = total if max_iters == -1 else min(max_iters, total)
-            host = np.zeros((self.n, self.n), dtype=np.int64)
-            k_acc = jnp.zeros((self.n, self.n), jnp.int32)
-            since = 0
-            for theta in stream[:limit]:
-                k_acc = k_acc + self._pass(theta)
-                since += 1
-                if since >= self.spill_every:
-                    host += np.asarray(k_acc, dtype=np.int64)
-                    k_acc = jnp.zeros_like(k_acc)
-                    since = 0
-            host += np.asarray(k_acc, dtype=np.int64)
+            host = self._sum_stream(stream[:limit])
             return ApproxResult(counts=host, iters=limit, stdevs=[], converged=False)
 
         n = self.n
@@ -185,16 +266,21 @@ class SortedGkmEngine:
             jnp.bool_(False),
         )
         sd_buf: List[jnp.ndarray] = []
-        # sync the done flag to the host only every few iterations: overshot
-        # passes are no-ops under the done mask, and host round trips (slow
-        # over a remote device link) drop ~8x
-        sync_every = 8
-        for start in range(0, total, sync_every):
-            for theta in stream[start : start + sync_every]:
-                ks = self._pass(theta)
+        # batch the passes (one wide sort) and scan the Welford steps over
+        # the batch in stream order — identical statistics, and the done
+        # flag syncs to the host once per batch instead of per pass
+        # (overshot passes are no-ops under the done mask)
+        bsz = max(self.theta_batch, 1)
+        for start in range(0, total, bsz):
+            batch = stream[start : start + bsz]
+            if len(batch) == bsz and bsz > 1:
+                ks_all = self._pass_batch(batch)
+            else:
+                ks_all = jnp.stack([self._pass(t) for t in batch])
+            for j in range(len(batch)):
                 state, sd = _welford_step(
                     state,
-                    ks,
+                    ks_all[j],
                     n_train=self.enc.n_train,
                     conv_delta=conv_delta,
                     max_iters=max_iters,

@@ -33,18 +33,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_windows(lengths: np.ndarray, g: int, tile: int) -> dict:
+def pack_windows(
+    lengths: np.ndarray, g: int, tile: int, group: int = 1
+) -> dict:
     """Row layout for the packed table (host side).
 
     Sequences are assumed pre-sorted by the caller (descending length).
     Each sequence s gets ``ceil(p_s / 8) * 8`` rows starting at
-    ``row0[s]``; the total rounds up to a multiple of ``tile``.
+    ``row0[s]``; the total rounds up to a multiple of ``tile * group``
+    (padding strips carry all-zero rows and contribute nothing).
     """
     p = np.maximum(lengths - g + 1, 0).astype(np.int64)
     rows = ((p + 7) // 8) * 8
     row0 = np.concatenate([[0], np.cumsum(rows)])
     total = int(row0[-1])
-    total_pad = ((total + tile - 1) // tile) * tile
+    unit = tile * group
+    total_pad = ((total + unit - 1) // unit) * unit
     n_strips = total_pad // tile
 
     # per-row sequence id (-1 padding) and window position
@@ -114,13 +118,7 @@ def build_packed_x(
     return oh.reshape(r, g * alpha)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "g", "k", "tile", "c_max", "n_strips", "n_digits", "digit_base"
-    ),
-)
-def packed_strip_update(
+def strip_planes_update(
     planes: Tuple[jnp.ndarray, ...],  # n_digits x [Np, Np] int32
     x: jnp.ndarray,  # [R, gA] bf16
     seq_of: jnp.ndarray,  # [R] int32
@@ -135,11 +133,16 @@ def packed_strip_update(
     n_strips: int,
     n_digits: int,
     digit_base: int = 256,
+    backend: str = "xla",
+    interpret: bool = False,
 ):
     """Accumulate digit planes for strip a against all strips b >= a.
 
     Plane matrices must be padded to ``N + c_max`` so block scatters never
-    clamp (the engine guarantees this).
+    clamp (the engine guarantees this). ``backend="pallas"`` fuses the
+    D-matmul / binomial / digit-split / stage-1 pipeline in VMEM
+    (ops/pairs_packed_pallas.py) — the s1 values are bit-identical, so the
+    shared int32 stage 2 below produces the same kernel either way.
     """
     from .pairs import binom_exact
 
@@ -151,33 +154,53 @@ def packed_strip_update(
     ga = (
         local_a[None, :] == jnp.arange(c_max, dtype=jnp.int32)[:, None]
     ).astype(jnp.bfloat16)
+    if backend == "pallas":
+        from .pairs_packed_pallas import packed_s1_pallas
+
+        c_pad = -(-c_max // 16) * 16  # bf16 sublane-tile alignment
+        ga_pad = jnp.pad(ga, ((0, c_pad - c_max), (0, 0)))
 
     def body(b, planes):
-        xb = jax.lax.dynamic_slice_in_dim(x, b * tile, tile, axis=0)
         fb = first_seq[b]
         bnd = bounds[b]  # [c_max]
-        d = jax.lax.dot_general(
-            xa, xb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [tile, tile] — match counts, exact
-        w = binom_exact(d, k)
         not_same = (b != a_strip).astype(jnp.int32)
 
-        out_planes = []
-        rem = w
-        for dig in range(n_digits):
-            if dig + 1 < n_digits:
-                q = jnp.floor(rem * (1.0 / digit_base))
-                digit = rem - q * float(digit_base)
-                rem = q
-            else:
-                digit = rem
-            # stage 1: rows -> i sequences (digit <= 255: bf16-exact matmul;
-            # sums <= tile * 255 < 2^24: f32-exact)
-            s1 = jax.lax.dot_general(
-                ga, digit.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        if backend == "pallas":
+            s1_all = packed_s1_pallas(
+                x, ga_pad, a_strip, b,
+                g=g, k=k, tile=tile, c_pad=c_pad,
+                n_digits=n_digits, digit_base=digit_base,
+                interpret=interpret,
+            )[:, :c_max, :]  # [n_digits, c_max, tile] f32
+        else:
+            xb = jax.lax.dynamic_slice_in_dim(x, b * tile, tile, axis=0)
+            d = jax.lax.dot_general(
+                xa, xb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [c_max, tile]
+            )  # [tile, tile] — match counts, exact
+            rem = binom_exact(d, k)
+            s1_list = []
+            for dig in range(n_digits):
+                if dig + 1 < n_digits:
+                    q = jnp.floor(rem * (1.0 / digit_base))
+                    digit = rem - q * float(digit_base)
+                    rem = q
+                else:
+                    digit = rem
+                # stage 1: rows -> i sequences (digit <= 255: bf16-exact
+                # matmul; sums <= tile * 255 < 2^24: f32-exact)
+                s1_list.append(
+                    jax.lax.dot_general(
+                        ga, digit.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [c_max, tile]
+            s1_all = jnp.stack(s1_list)
+
+        out_planes = []
+        for dig in range(n_digits):
+            s1 = s1_all[dig]
             # stage 2: columns -> j sequences via int32 cumsum + boundary
             # gather (running sums <= tile^2 * 255 < 2^31: int32-exact)
             cum = jnp.cumsum(s1.astype(jnp.int32), axis=1)
@@ -206,3 +229,135 @@ def packed_strip_update(
         return tuple(out_planes)
 
     return jax.lax.fori_loop(a_strip, n_strips, body, tuple(planes))
+
+
+packed_strip_update = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "k", "tile", "c_max", "n_strips", "n_digits", "digit_base",
+        "backend", "interpret",
+    ),
+)(strip_planes_update)
+
+
+def build_gb_all(
+    seq_of: jnp.ndarray,  # [R] int32
+    first_seq: jnp.ndarray,  # [n_strips] int32
+    *,
+    tile: int,
+    c_pad: int,
+) -> jnp.ndarray:
+    """Global row -> local-j-sequence one-hot ``[R, c_pad]`` bf16: the
+    column-segmentation map the fused Pallas stage 2 matmuls against
+    (replaces the XLA path's bounds arrays + cumsum)."""
+    r = seq_of.shape[0]
+    strip_of = jnp.arange(r, dtype=jnp.int32) // tile
+    local = jnp.where(seq_of >= 0, seq_of - first_seq[strip_of], -1)
+    iota = jnp.arange(c_pad, dtype=jnp.int32)
+    return (local[:, None] == iota[None, :]).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "k", "tile", "c_pad", "n_strips", "n_digits", "digit_base",
+        "group", "interpret",
+    ),
+)
+def packed_strip_update_grouped(
+    planes: Tuple[jnp.ndarray, ...],  # n_digits x [Np, Np] int32
+    x: jnp.ndarray,  # [R, gA] bf16
+    seq_of: jnp.ndarray,  # [R] int32
+    gb_all: jnp.ndarray,  # [R, c_pad] bf16
+    first_seq: jnp.ndarray,  # [n_strips] int32
+    a_strip: jnp.ndarray,  # scalar int32
+    *,
+    g: int,
+    k: int,
+    tile: int,
+    c_pad: int,
+    n_strips: int,
+    n_digits: int,
+    digit_base: int,
+    group: int,
+    interpret: bool = False,
+):
+    """Fully-fused grouped update for strip a against all strips b >= a.
+
+    Per fori step, one Pallas call (ops/pairs_packed_pallas.py:
+    packed_part_pallas) produces the ``group`` part blocks; XLA only does
+    ``group * n_digits`` tiny row-buffer read-modify-writes, amortizing
+    the op-dispatch cost that dominated the per-pair XLA path. Per-strip
+    accumulation targets:
+
+    - ``row_off``: P blocks of pairs b > a, laid out as rows [c_pad, Np]
+      at column fb — added to the planes' rows [fa, fa+c_pad) once, and
+      (transposed) to the columns [fa, fa+c_pad) once, so every ordered
+      pair counts exactly once;
+    - ``diag``: the b == a block, added at (fa, fa) only.
+
+    Overlaps (sequences straddling strips) compose because every landing
+    site is add-accumulated, exactly like the per-pair path.
+    """
+    from .pairs_packed_pallas import packed_part_pallas
+
+    n_pad2 = planes[0].shape[1]
+    seq_a = jax.lax.dynamic_slice_in_dim(seq_of, a_strip * tile, tile, axis=0)
+    fa = first_seq[a_strip]
+    local_a = jnp.where(seq_a >= 0, seq_a - fa, -1)
+    ga = (
+        local_a[None, :] == jnp.arange(c_pad, dtype=jnp.int32)[:, None]
+    ).astype(jnp.bfloat16)
+
+    n_groups = n_strips // group
+    row_offs = tuple(
+        jnp.zeros((c_pad, n_pad2), jnp.int32) for _ in range(n_digits)
+    )
+    diags = tuple(
+        jnp.zeros((c_pad, c_pad), jnp.int32) for _ in range(n_digits)
+    )
+
+    def body(gbi, carry):
+        row_offs, diags = carry
+        parts = packed_part_pallas(
+            x, ga, gb_all, a_strip, gbi,
+            g=g, k=k, tile=tile, c_pad=c_pad, n_digits=n_digits,
+            digit_base=digit_base, group=group, interpret=interpret,
+        )  # [n_digits, group, c_pad, c_pad] int32
+        new_ro = list(row_offs)
+        new_di = list(diags)
+        for u in range(group):
+            b_u = gbi * group + u
+            live = (b_u > a_strip).astype(jnp.int32)
+            isdiag = (b_u == a_strip).astype(jnp.int32)
+            fb = first_seq[b_u]
+            for dig in range(n_digits):
+                p_u = parts[dig, u]
+                blk = jax.lax.dynamic_slice(
+                    new_ro[dig], (0, fb), (c_pad, c_pad)
+                )
+                new_ro[dig] = jax.lax.dynamic_update_slice(
+                    new_ro[dig], blk + p_u * live, (0, fb)
+                )
+                new_di[dig] = new_di[dig] + p_u * isdiag
+        return tuple(new_ro), tuple(new_di)
+
+    row_offs, diags = jax.lax.fori_loop(
+        a_strip // group, n_groups, body, (row_offs, diags)
+    )
+
+    out = []
+    for dig in range(n_digits):
+        plane = planes[dig]
+        rows = jax.lax.dynamic_slice(plane, (fa, 0), (c_pad, n_pad2))
+        plane = jax.lax.dynamic_update_slice(
+            plane, rows + row_offs[dig], (fa, 0)
+        )
+        dblk = jax.lax.dynamic_slice(plane, (fa, fa), (c_pad, c_pad))
+        plane = jax.lax.dynamic_update_slice(plane, dblk + diags[dig], (fa, fa))
+        cols = jax.lax.dynamic_slice(plane, (0, fa), (n_pad2, c_pad))
+        plane = jax.lax.dynamic_update_slice(
+            plane, cols + row_offs[dig].T, (0, fa)
+        )
+        out.append(plane)
+    return tuple(out)

@@ -57,21 +57,7 @@ def _compact_by_flag(flag: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...]):
     return out[1:-1], out[-1]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "g",
-        "base",
-        "code_min",
-        "n",
-        "p",
-        "slab",
-        "dpw",
-        "n_words",
-        "count_split",
-    ),
-)
-def sorted_theta_pass(
+def _sorted_theta_pass_core(
     windows: jnp.ndarray,  # [N * P, g] int32 (invalid rows: any content)
     valid: jnp.ndarray,  # [N * P] bool
     seq_of: jnp.ndarray,  # [N * P] int32
@@ -86,8 +72,15 @@ def sorted_theta_pass(
     dpw: int,
     n_words: int,
     count_split: bool,
+    static_slabs: bool = False,
 ) -> jnp.ndarray:
-    """One exact counting pass K_theta [n, n] int32 over subset ``theta``."""
+    """One exact counting pass K_theta [n, n] int32 over subset ``theta``.
+
+    ``static_slabs`` replaces the data-dependent slab count with the static
+    upper bound (every window a multi-run pair) — required under vmap
+    (batched passes), where each extra iteration past a lane's true count
+    contributes exactly zero (live/straddle masks are all false).
+    """
     nfeat = windows.shape[0]
     k = theta.shape[0]
 
@@ -189,7 +182,10 @@ def sorted_theta_pass(
     new_mrun = diff_prev(mrun)
     mrank = jnp.cumsum(new_mrun.astype(jnp.int32)) - 1
 
-    n_slabs = jnp.maximum((m2 + slab - 1) // slab, 0)
+    if static_slabs:
+        n_slabs = (nfeat + slab - 1) // slab
+    else:
+        n_slabs = jnp.maximum((m2 + slab - 1) // slab, 0)
     idx_all = jnp.arange(slab, dtype=jnp.int32)
     n_win = ((n + 127) // 128) * 128  # boundary gather window, >= max run pairs
 
@@ -254,3 +250,34 @@ def sorted_theta_pass(
         return k_acc
 
     return jax.lax.fori_loop(0, n_slabs, slab_body, k_acc)
+
+
+_STATIC_NAMES = (
+    "g", "base", "code_min", "n", "p", "slab", "dpw", "n_words",
+    "count_split", "static_slabs",
+)
+
+sorted_theta_pass = functools.partial(
+    jax.jit, static_argnames=_STATIC_NAMES
+)(_sorted_theta_pass_core)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
+def sorted_theta_pass_batch(
+    windows: jnp.ndarray,
+    valid: jnp.ndarray,
+    seq_of: jnp.ndarray,
+    thetas: jnp.ndarray,  # [T, k] int32
+    **static,
+) -> jnp.ndarray:
+    """T passes in one call: the multi-word sorts batch along the theta
+    axis (one wide device sort instead of T serial ones — the per-pass
+    bottleneck on sort-bound data) and the slab count-matmuls run batched
+    on the MXU. Returns [T, n, n] int32, each slice bit-identical to
+    ``sorted_theta_pass`` on that theta."""
+    static["static_slabs"] = True
+    return jax.vmap(
+        lambda th: _sorted_theta_pass_core(
+            windows, valid, seq_of, th, **static
+        )
+    )(thetas)

@@ -357,3 +357,108 @@ def pairs_round_sharded(
         in_specs=(P((ROWS_AXIS, THETA_AXIS), None, None), P(), P()),
         out_specs=P((ROWS_AXIS, THETA_AXIS), None, None),
     )(k_slots, x, round_idx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "g", "base", "code_min", "n", "p", "slab", "dpw",
+        "n_words", "count_split",
+    ),
+)
+def sorted_batch_sharded(
+    k_dev: jnp.ndarray,  # [n_dev, n, n] int32, device-sharded on axis 0
+    windows: jnp.ndarray,  # [nfeat, g] int32, replicated
+    valid: jnp.ndarray,  # [nfeat] bool, replicated
+    seq_of: jnp.ndarray,  # [nfeat] int32, replicated
+    thetas: jnp.ndarray,  # [n_dev, T, k] int32, device-sharded
+    live: jnp.ndarray,  # [n_dev, T] int32, device-sharded
+    *,
+    mesh: Mesh,
+    **static,
+):
+    """Theta-sharded batched sorted passes: each device runs its own
+    batched sort pipeline (ops/sorted_theta.py) over its theta sub-batch
+    and accumulates into its private kernel replica — the theta axis of
+    the reference's thread pool (fastsk_kernel.cpp:53-93), with the merge
+    deferred to a host sum of replicas instead of mutexes."""
+    from ..ops.sorted_theta import sorted_theta_pass_batch
+
+    def local(k_l, w, v, s, th, lv):
+        ks = sorted_theta_pass_batch(w, v, s, th[0], **static)
+        ks = ks * lv[0][:, None, None]
+        return k_l + jnp.sum(ks, axis=0)[None]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P((ROWS_AXIS, THETA_AXIS), None, None),
+            P(), P(), P(),
+            P((ROWS_AXIS, THETA_AXIS), None, None),
+            P((ROWS_AXIS, THETA_AXIS), None),
+        ),
+        out_specs=P((ROWS_AXIS, THETA_AXIS), None, None),
+    )(k_dev, windows, valid, seq_of, thetas, live)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "g", "k", "tile", "c_max", "n_strips", "n_digits",
+        "digit_base", "backend",
+    ),
+)
+def packed_round_sharded(
+    planes_dev: jnp.ndarray,  # [n_dev, n_digits, Np, Np] int32, dev-sharded
+    x: jnp.ndarray,  # [R, gA] bf16, replicated
+    seq_of: jnp.ndarray,  # [R] int32, replicated
+    first_seq: jnp.ndarray,  # [n_strips] int32, replicated
+    bounds: jnp.ndarray,  # [n_strips, c_max] int32, replicated
+    round_idx: jnp.ndarray,  # scalar int32
+    *,
+    mesh: Mesh,
+    g: int,
+    k: int,
+    tile: int,
+    c_max: int,
+    n_strips: int,
+    n_digits: int,
+    digit_base: int,
+    backend: str = "xla",
+):
+    """One round-robin round of the packed (ragged) all-pairs engine.
+
+    Each device runs strip ``a = round_idx * n_dev + device`` against all
+    strips b >= a, accumulating into its PRIVATE digit-plane replica —
+    every (a, b) pair is handled by exactly one device, so the final merge
+    is an elementwise sum of the per-device planes (done host-side by the
+    engine). Round-robin assignment balances the triangular b loop.
+    """
+    from ..ops import pairs_packed
+
+    n_dev = mesh.shape[ROWS_AXIS] * mesh.shape[THETA_AXIS]
+
+    def local(planes_l, x_r, seq_r, fs_r, bd_r, ridx):
+        dev = (
+            jax.lax.axis_index(ROWS_AXIS) * mesh.shape[THETA_AXIS]
+            + jax.lax.axis_index(THETA_AXIS)
+        )
+        a_strip = ridx * n_dev + dev  # >= n_strips -> empty fori, no-op
+        planes_t = tuple(planes_l[0][d] for d in range(n_digits))
+        out = pairs_packed.strip_planes_update(
+            planes_t, x_r, seq_r, fs_r, bd_r, a_strip,
+            g=g, k=k, tile=tile, c_max=c_max, n_strips=n_strips,
+            n_digits=n_digits, digit_base=digit_base, backend=backend,
+        )
+        return jnp.stack(out)[None]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P((ROWS_AXIS, THETA_AXIS), None, None, None),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=P((ROWS_AXIS, THETA_AXIS), None, None, None),
+    )(planes_dev, x, seq_of, first_seq, bounds, round_idx)

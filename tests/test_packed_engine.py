@@ -83,3 +83,38 @@ def test_api_guard_rejected_falls_to_packed(rng):
     fsk = FastSK(g=16, m=10)
     engine = fsk._make_exact_engine(encode_sequences(X))
     assert type(engine).__name__ == "PackedPairsEngine"
+
+
+# ------------------------------------------------- fused Pallas backend
+
+
+@pytest.mark.parametrize(
+    "g,m,n,lmin,lmax,alpha",
+    [
+        (6, 3, 9, 8, 30, 4),
+        (8, 4, 10, 10, 40, 20),  # protein-sized alphabet
+        (12, 6, 8, 18, 40, 4),  # two digit planes
+    ],
+)
+def test_packed_pallas_matches_oracle(rng, small_tile, g, m, n, lmin, lmax, alpha):
+    """The fused Pallas packed backend (interpret mode on CPU) is
+    bit-identical to the oracle — same s1 values, same int32 stage 2."""
+    X = random_ragged_seqs(rng, n, lmin, lmax, alphabet=alpha)
+    K_o = oracle.exact_counts(X, g, m)
+    eng = PackedPairsEngine(
+        encode_sequences(X), g, m,
+        KernelConfig(pairs_backend="pallas_interpret"),
+    )
+    assert eng.backend == "pallas"
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_pallas_straddling(rng, small_tile):
+    X = random_ragged_seqs(rng, 6, 100, 200, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PackedPairsEngine(
+        encode_sequences(X), 6, 3,
+        KernelConfig(pairs_backend="pallas_interpret"),
+    )
+    assert eng.n_strips > 5
+    np.testing.assert_array_equal(K_o, eng.exact())

@@ -108,3 +108,58 @@ def test_api_exact_with_mesh_uses_pairs(rng, mesh8):
     ref = FastSK(g=6, m=2)
     ref.compute_train(X)
     np.testing.assert_array_equal(ref.kernel_counts, fsk.kernel_counts)
+
+
+def test_packed_sharded_matches_single_device(rng, mesh8):
+    """Round-robin strip sharding of the packed (ragged) engine: per-device
+    plane replicas summed on the host equal the single-device integers."""
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    orig = PackedPairsEngine.TILE
+    PackedPairsEngine.TILE = 64
+    try:
+        X = random_ragged_seqs(rng, 18, 10, 60, alphabet=4)
+        enc = encode_sequences(X)
+        single = PackedPairsEngine(enc, 6, 3, KernelConfig())
+        k1 = single.exact()
+        sharded = PackedPairsEngine(enc, 6, 3, KernelConfig(mesh=mesh8))
+        assert sharded.n_strips > 8  # several rounds
+        k2 = sharded.exact()
+        np.testing.assert_array_equal(k1, k2)
+    finally:
+        PackedPairsEngine.TILE = orig
+
+
+def test_packed_sharded_multi_digit(rng, mesh8):
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    orig = PackedPairsEngine.TILE
+    PackedPairsEngine.TILE = 64
+    try:
+        X = random_ragged_seqs(rng, 8, 18, 40, alphabet=4)
+        enc = encode_sequences(X)
+        single = PackedPairsEngine(enc, 12, 6, KernelConfig())
+        assert single.n_digits == 2
+        k1 = single.exact()
+        sharded = PackedPairsEngine(enc, 12, 6, KernelConfig(mesh=mesh8))
+        k2 = sharded.exact()
+        np.testing.assert_array_equal(k1, k2)
+    finally:
+        PackedPairsEngine.TILE = orig
+
+
+def test_api_routes_ragged_mesh_to_packed(rng, mesh8):
+    """With a mesh, heavily ragged data now routes to the sharded packed
+    engine (round 1 silently fell back to the slow theta path)."""
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = random_ragged_seqs(rng, 10, 8, 80, alphabet=4)
+    fsk = FastSK(g=6, m=2, config=KernelConfig(mesh=mesh8))
+    engine = fsk._make_exact_engine(encode_sequences(X))
+    assert type(engine).__name__ == "PackedPairsEngine"
+    fsk.compute_train(X)
+    ref = FastSK(g=6, m=2)
+    ref.compute_train(X)
+    np.testing.assert_array_equal(ref.kernel_counts, fsk.kernel_counts)

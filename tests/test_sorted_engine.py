@@ -85,3 +85,39 @@ def test_api_routes_big_alphabet_to_sorted(rng):
     fsk.compute_train(X)
     K_oracle = oracle.exact_counts(X, 6, 2)
     np.testing.assert_array_equal(K_oracle, fsk.kernel_counts)
+
+
+def test_sorted_batch_pass_bitexact_vs_single(rng):
+    """sorted_theta_pass_batch slices must equal per-theta passes."""
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+    from fastsk_tpu.ops.sorted_theta import (
+        sorted_theta_pass,
+        sorted_theta_pass_batch,
+    )
+
+    X = random_ragged_seqs(rng, 8, 8, 20, alphabet=20)
+    eng = SortedGkmEngine(encode_sequences(X), 6, 3, KernelConfig(sorted_slab=64))
+    thetas = enumerate_combinations(6, 3)[:5]
+    batch = eng._pass_batch(thetas)
+    for j, th in enumerate(thetas):
+        np.testing.assert_array_equal(np.asarray(eng._pass(th)), np.asarray(batch[j]))
+
+
+def test_sorted_sharded_matches_single_device(rng):
+    import jax
+
+    from fastsk_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(2, 4)
+    X = random_ragged_seqs(rng, 9, 8, 20, alphabet=25)
+    enc = encode_sequences(X)
+    single = SortedGkmEngine(enc, 8, 3, KernelConfig(sorted_slab=128))
+    k1 = single.exact()
+    sharded = SortedGkmEngine(
+        enc, 8, 3, KernelConfig(sorted_slab=128, mesh=mesh)
+    )
+    k2 = sharded.exact()
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(k1, oracle.exact_counts(X, 8, 3))

@@ -259,20 +259,20 @@ class DenseGkmEngine:
             since_spill += t
             since_ckpt += t
             if since_spill >= self.spill_every_thetas:
-                host_acc += np.asarray(k_acc, dtype=np.int64)
+                host_acc += shd.host_gather(k_acc)
                 k_acc = jnp.zeros(
                     (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
                 )
                 since_spill = 0
             if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
-                host_acc += np.asarray(k_acc, dtype=np.int64)
+                host_acc += shd.host_gather(k_acc)
                 k_acc = jnp.zeros(
                     (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
                 )
                 since_spill = 0
                 since_ckpt = 0
                 ckpt.save(host_acc=host_acc, next_theta=np.int64(i))
-        host_acc += np.asarray(k_acc, dtype=np.int64)
+        host_acc += shd.host_gather(k_acc)
         return host_acc[: self.n, : self.n]
 
     def exact(self) -> np.ndarray:
@@ -398,7 +398,12 @@ class DenseGkmEngine:
             f"approx: {'converged' if bool(done_flag) else 'stopped'} after "
             f"{iters} iterations"
         )
-        counts = np.asarray(k_sum, dtype=np.int64)[: self.n, : self.n]
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+
+            counts = shd.host_gather(k_sum)[: self.n, : self.n]
+        else:
+            counts = np.asarray(k_sum, dtype=np.int64)[: self.n, : self.n]
         return ApproxResult(
             counts=counts,
             iters=iters,

@@ -211,7 +211,7 @@ class PairsGkmEngine:
                 p_pad=self.p_pad,
                 n_strips_j=self.n_strips_j,
             )
-        slots = np.asarray(k_slots, dtype=np.int64)
+        slots = shd.host_gather(k_slots)
         upper = np.zeros((self.n_pad, self.n_pad), dtype=np.int64)
         for slot in range(n_slots):
             dev, ridx = divmod(slot, spd)
@@ -451,7 +451,7 @@ class PackedPairsEngine:
                 n_digits=self.n_digits, digit_base=self.digit_base,
                 backend=self.backend,
             )
-        planes_host = np.asarray(planes_dev, dtype=np.int64).sum(axis=0)
+        planes_host = shd.host_gather(planes_dev).sum(axis=0)
         k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
         for dig in range(self.n_digits):
             k_sorted += (self.digit_base**dig) * planes_host[dig][

@@ -227,12 +227,12 @@ class SortedGkmEngine:
             )
             since += t_pad // n_dev
             if since >= self.spill_every:
-                host += np.asarray(k_dev, dtype=np.int64).sum(axis=0)
+                host += shd.host_gather(k_dev).sum(axis=0)
                 k_dev = jnp.zeros(
                     (n_dev, self.n, self.n), jnp.int32, device=dev_sharding
                 )
                 since = 0
-        host += np.asarray(k_dev, dtype=np.int64).sum(axis=0)
+        host += shd.host_gather(k_dev).sum(axis=0)
         return host
 
     def exact(self) -> np.ndarray:

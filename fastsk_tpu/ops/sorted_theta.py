@@ -32,8 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.int32(1 << 30)
-SENTINEL = jnp.int32(2**31 - 1)
+# plain numpy scalars: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize()
+BIG = np.int32(1 << 30)
+SENTINEL = np.int32(2**31 - 1)
 
 
 def hash_plan(base: int, k: int) -> Tuple[int, int]:

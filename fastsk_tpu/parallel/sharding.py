@@ -61,6 +61,20 @@ def default_mesh_shape(n_devices: int) -> Tuple[int, int]:
     return rows, n_devices // rows
 
 
+def host_gather(arr: jnp.ndarray, dtype=np.int64) -> np.ndarray:
+    """Fetch a (possibly cross-process) sharded array to the host.
+
+    Single-process meshes transfer directly; under ``jax.distributed``
+    the shards on other hosts are not addressable, so the global value is
+    assembled with an all-gather over DCN first.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        arr = multihost_utils.process_allgather(arr, tiled=True)
+    return np.asarray(arr, dtype=dtype)
+
+
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     size = x.shape[axis]
     target = ((size + multiple - 1) // multiple) * multiple

@@ -1,0 +1,96 @@
+"""Real 2-process jax.distributed execution on CPU.
+
+Round 1 only compile-checked ``parallel/multihost.py`` on a virtual mesh;
+this spawns two actual processes with a local TCP coordinator, builds the
+global mesh through ``multihost.initialize()/global_mesh()``, computes a
+sharded exact kernel, and asserts integer equality with the single-process
+result — the closest a single machine gets to a multi-host run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coord = sys.argv[1]
+pid = int(sys.argv[2])
+out_path = sys.argv[3]
+
+# distributed init MUST precede anything that touches the XLA backend —
+# including importing modules that query jax.devices()
+from fastsk_tpu.parallel import multihost
+
+multihost.initialize(
+    coordinator_address=coord, num_processes=2, process_id=pid
+)
+
+import numpy as np
+from fastsk_tpu import FastSK, KernelConfig
+assert jax.process_count() == 2, jax.process_count()
+# 2 processes x 2 local devices = 4 global devices
+mesh = multihost.global_mesh(rows=2, theta=2)
+
+rng = np.random.default_rng(42)
+X = [rng.integers(1, 5, size=int(rng.integers(12, 20))).tolist()
+     for _ in range(10)]
+fsk = FastSK(g=5, m=2, config=KernelConfig(mesh=mesh, exact_engine="theta"))
+fsk.compute_train(X)
+if pid == 0:
+    np.save(out_path, fsk.kernel_counts)
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_kernel(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    out = str(tmp_path / "k0.npy")
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write(WORKER)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, coord, str(pid), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-3000:]
+
+    # single-process oracle
+    from fastsk_tpu import FastSK, KernelConfig
+
+    rng = np.random.default_rng(42)
+    X = [rng.integers(1, 5, size=int(rng.integers(12, 20))).tolist()
+         for _ in range(10)]
+    single = FastSK(g=5, m=2, config=KernelConfig(exact_engine="theta"))
+    single.compute_train(X)
+    np.testing.assert_array_equal(np.load(out), single.kernel_counts)

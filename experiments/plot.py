@@ -23,12 +23,27 @@ def _read(path):
         return list(csv.DictReader(f))
 
 
+def _times(rows):
+    """steady_s (new) or time_s (legacy) per row, with timeout flags."""
+    if rows and "steady_s" in rows[0]:
+        return ([float(r["steady_s"]) for r in rows],
+                [bool(int(r.get("timed_out", 0))) for r in rows])
+    return [float(r["time_s"]) for r in rows], [False] * len(rows)
+
+
 def plot_g_time(path, out):
     rows = _read(path)
     g = [int(r["g"]) for r in rows]
-    t = [float(r["time_s"]) for r in rows]
+    t, killed = _times(rows)
     fig, ax = plt.subplots(figsize=(5, 3.5))
-    ax.plot(g, t, marker="o")
+    ax.plot(g, t, marker="o", label="steady")
+    if rows and "compile_s" in rows[0]:
+        ax.plot(g, [float(r["compile_s"]) for r in rows], marker="s",
+                alpha=0.5, label="compile+first")
+        ax.legend(fontsize=8)
+    for gi, ti, ki in zip(g, t, killed):
+        if ki:
+            ax.annotate("timeout", (gi, ti), fontsize=7)
     ax.set_xlabel("g (k = 6)")
     ax.set_ylabel("kernel time (s)")
     ax.set_yscale("log")
@@ -40,7 +55,7 @@ def plot_g_time(path, out):
 def plot_m_time(path, out):
     rows = _read(path)
     m = [int(r["m"]) for r in rows]
-    t = [float(r["time_s"]) for r in rows]
+    t, _ = _times(rows)
     fig, ax = plt.subplots(figsize=(5, 3.5))
     ax.plot(m, t, marker="o")
     ax.set_xlabel("m (g = 16)")
@@ -118,6 +133,55 @@ def plot_chips(path, out):
     fig.savefig(out, dpi=150)
 
 
+def plot_speedup(path, out):
+    """Per-dataset kernel speedup vs the measured reference single-thread
+    wall (results/plot.py's speedup barchart family)."""
+    rows = _read(path)
+    names = [r["dataset"] for r in rows]
+    sp = [float(r["speedup"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(max(5, 0.6 * len(rows)), 3.5))
+    ax.bar(range(len(rows)), sp)
+    ax.set_xticks(range(len(rows)))
+    ax.set_xticklabels(names, rotation=45, ha="right", fontsize=8)
+    ax.set_ylabel("speedup vs reference 1-thread")
+    ax.set_yscale("log")
+    for i, v in enumerate(sp):
+        ax.annotate(f"{v:.0f}x", (i, v), ha="center", va="bottom", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_stdev_ci(path, out):
+    """Mean convergence-sd trajectory with a 95% CI band over seeds
+    (results/run_experiments.py:1098-1195 methodology)."""
+    import numpy as np
+
+    rows = _read(path)
+    seeds = sorted({r["seed"] for r in rows})
+    by_iter = {}
+    for r in rows:
+        it = int(r["iteration"])
+        if it > 1:
+            by_iter.setdefault(it, []).append(float(r["stdev"]))
+    its = sorted(by_iter)
+    mean = np.array([np.mean(by_iter[i]) for i in its])
+    sem = np.array([
+        np.std(by_iter[i], ddof=1) / max(np.sqrt(len(by_iter[i])), 1)
+        if len(by_iter[i]) > 1 else 0.0
+        for i in its
+    ])
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(its, mean, label=f"mean of {len(seeds)} seeds")
+    ax.fill_between(its, mean - 1.96 * sem, mean + 1.96 * sem, alpha=0.3,
+                    label="95% CI")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("convergence sd")
+    ax.set_yscale("log")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 PLOTTERS = {
     "g_time": plot_g_time,
     "m_time": plot_m_time,
@@ -126,6 +190,8 @@ PLOTTERS = {
     "stdev_I": plot_stdev_i,
     "g_auc": plot_g_auc,
     "chips": plot_chips,
+    "speedup": plot_speedup,
+    "stdev_ci": plot_stdev_ci,
 }
 
 

@@ -42,24 +42,38 @@ def _writer(path, fields):
 def g_time(prefix, out, timeout):
     from fastsk_tpu.harness import time_fastsk
 
-    f, w = _writer(out, ["g", "m", "k", "time_s"])
+    f, w = _writer(out, ["g", "m", "k", "compile_s", "steady_s", "timed_out"])
     with f:
         for g in range(6, 21, 2):
             m = g - 6
-            t = time_fastsk(g=g, m=m, prefix=prefix, timeout=timeout)
-            w.writerow({"g": g, "m": m, "k": 6, "time_s": round(t, 3)})
-            print(f"g={g} m={m}: {t:.2f}s", flush=True)
+            first, steady, killed = time_fastsk(
+                g=g, m=m, prefix=prefix, timeout=timeout, detail=True
+            )
+            w.writerow({"g": g, "m": m, "k": 6,
+                        "compile_s": round(first, 3),
+                        "steady_s": round(steady, 3),
+                        "timed_out": int(killed)})
+            f.flush()
+            print(f"g={g} m={m}: first={first:.2f}s steady={steady:.2f}s"
+                  f"{' TIMEOUT' if killed else ''}", flush=True)
 
 
 def m_time(prefix, out, timeout):
     from fastsk_tpu.harness import time_fastsk
 
-    f, w = _writer(out, ["g", "m", "time_s"])
+    f, w = _writer(out, ["g", "m", "compile_s", "steady_s", "timed_out"])
     with f:
         for m in range(0, 15, 2):
-            t = time_fastsk(g=16, m=m, prefix=prefix, timeout=timeout)
-            w.writerow({"g": 16, "m": m, "time_s": round(t, 3)})
-            print(f"m={m}: {t:.2f}s", flush=True)
+            first, steady, killed = time_fastsk(
+                g=16, m=m, prefix=prefix, timeout=timeout, detail=True
+            )
+            w.writerow({"g": 16, "m": m,
+                        "compile_s": round(first, 3),
+                        "steady_s": round(steady, 3),
+                        "timed_out": int(killed)})
+            f.flush()
+            print(f"m={m}: first={first:.2f}s steady={steady:.2f}s"
+                  f"{' TIMEOUT' if killed else ''}", flush=True)
 
 
 def i_auc(prefix, out):

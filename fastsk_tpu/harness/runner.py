@@ -132,11 +132,18 @@ class FastskRegressor:
         return model.score(Xtest, self.Ytest)
 
 
-def _timed_child(queue, prefix, kwargs):
+def _timed_child(queue, prefix, kwargs, steady_runs):
     runner = FastskRunner(prefix)
     t0 = time.time()
     runner.compute_kernel(**kwargs)
-    queue.put(time.time() - t0)
+    first = time.time() - t0
+    steady = first
+    for _ in range(steady_runs):
+        runner2 = FastskRunner(prefix)  # fresh buffers; jit caches persist
+        t0 = time.time()
+        runner2.compute_kernel(**kwargs)
+        steady = min(steady, time.time() - t0)
+    queue.put((first, steady))
 
 
 def time_fastsk(
@@ -148,27 +155,38 @@ def time_fastsk(
     I: int = -1,
     skip_variance: bool = False,
     timeout: Optional[float] = None,
-) -> float:
+    detail: bool = False,
+    steady_runs: int = 1,
+):
     """Kernel wall-clock with a kill-on-timeout subprocess wrapper.
 
-    Returns the elapsed seconds, or the timeout value if the run was
-    killed (the reference's convention, test/utils.py:15-66).
+    With ``detail=True`` returns ``(first_s, steady_s, timed_out)`` where
+    ``first_s`` includes jit compilation and ``steady_s`` is the best of
+    ``steady_runs`` re-runs with warm caches — bench.py's convention, so
+    experiment CSVs aren't dominated by compile noise (the reference's
+    wrapper, test/utils.py:15-66, cannot distinguish the two). Without
+    ``detail`` returns the steady seconds (or ``timeout`` if killed).
     """
     kwargs = dict(g=g, m=m, t=t, approx=approx, I=I, skip_variance=skip_variance)
     if timeout is None:
         q: multiprocessing.Queue = multiprocessing.Queue()
-        _timed_child(q, prefix, kwargs)
-        return q.get()
+        _timed_child(q, prefix, kwargs, steady_runs)
+        first, steady = q.get()
+        return (first, steady, False) if detail else steady
     ctx = multiprocessing.get_context("spawn")
     q = ctx.Queue()
-    proc = ctx.Process(target=_timed_child, args=(q, prefix, kwargs))
+    proc = ctx.Process(
+        target=_timed_child, args=(q, prefix, kwargs, steady_runs)
+    )
     proc.start()
     proc.join(timeout)
     if proc.is_alive():
         proc.terminate()
         proc.join()
-        return float(timeout)
-    return q.get()
+        to = float(timeout)
+        return (to, to, True) if detail else to
+    first, steady = q.get()
+    return (first, steady, False) if detail else steady
 
 
 class FastskMulticlassRunner:

@@ -109,9 +109,12 @@ class PairsGkmEngine:
         self._lengths = jax.device_put(jnp.asarray(lengths), dev)
 
     def _build_x(self) -> jnp.ndarray:
+        # the Pallas path runs D on the int8 MXU (2x bf16 peak on v5e);
+        # the XLA/mesh paths matmul in bf16
+        dtype = jnp.int8 if self.backend == "pallas" and self.mesh is None else jnp.bfloat16
         x = jax.jit(
             pairs.onehot_windows,
-            static_argnames=("g", "alpha", "code_min", "p_pad"),
+            static_argnames=("g", "alpha", "code_min", "p_pad", "dtype"),
         )(
             self._ids,
             self._lengths,
@@ -119,6 +122,7 @@ class PairsGkmEngine:
             alpha=self.alpha,
             code_min=self.code_min,
             p_pad=self.p_pad,
+            dtype=dtype,
         )
         return x.reshape(self.n_pad * self.p_pad, self.g * self.alpha)
 
@@ -143,7 +147,9 @@ class PairsGkmEngine:
             if self.mesh is not None:
                 upper = self._exact_sharded(x)
             elif self.backend == "pallas":
-                upper = self._exact_pallas(x)
+                # returns the full symmetric matrix (blocked host mirror)
+                out = self._exact_pallas(x)[: self.n, : self.n]
+                return out
             else:
                 upper = self._exact_xla(x)
             upper = upper[: self.n, : self.n]
@@ -156,24 +162,83 @@ class PairsGkmEngine:
         return out
 
     def _exact_pallas(self, x, interpret: bool = False) -> np.ndarray:
+        """Banded execution + packed streaming, returning the FULL
+        symmetric matrix.
+
+        ~12 row-band kernel launches dispatch asynchronously; each band's
+        upper-triangle block slice streams to the host while later bands
+        compute. The device->host link is the end-to-end bottleneck
+        (~12 MB/s through the remote tunnel), so dead lower-triangle
+        blocks are never transferred, and when every count fits 24 bits
+        (checked against the device max) each int32 is bitcast-sliced to
+        3 bytes on device — 25% fewer bytes, decoded exactly on host.
+        The lower triangle is then filled by a cache-blocked transpose of
+        the upper (symmetric counts), which is ~10x faster than the
+        np.triu + transpose-add mirror on a 400 MB matrix.
+        """
         from ..ops import pairs_pallas
 
-        blocks = pairs_pallas.pairs_kernel_blocks(
-            x,
-            g=self.g,
-            k=self.k,
-            p_pad=self.p_pad,
-            c_ti=self.c_i,
-            c_tj=self.c_j,
-            interpret=interpret,
+        n_i = self.n_pad // self.c_i
+        n_j = self.n_pad // self.c_j
+        band = max(1, -(-n_i // 12))
+        kwargs = dict(
+            g=self.g, k=self.k, p_pad=self.p_pad,
+            c_ti=self.c_i, c_tj=self.c_j, interpret=interpret,
         )
-        n_i, n_j, c_ti, c_tj = blocks.shape
-        k_full = (
-            np.asarray(blocks, dtype=np.int64)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_i * c_ti, n_j * c_tj)
+        outs = []
+        for i0 in range(0, n_i, band):
+            nb = min(band, n_i - i0)
+            outs.append(
+                (
+                    i0,
+                    pairs_pallas.pairs_kernel_blocks(
+                        x, jnp.int32(i0), n_i_band=nb, **kwargs
+                    ),
+                )
+            )
+        # device max decides the transfer encoding (tiny scalar fetch)
+        gmax = int(
+            np.asarray(
+                jax.jit(lambda bs: jnp.max(jnp.stack([jnp.max(b) for b in bs])))(
+                    [b for _, b in outs]
+                )
+            )
         )
-        return k_full
+        pack24 = gmax < (1 << 24) and not interpret
+
+        k_full = np.zeros((self.n_pad, self.n_pad), dtype=np.int32)
+        for i0, blocks in outs:
+            nb = blocks.shape[0]
+            j0 = (i0 * self.c_i) // self.c_j  # first live j block
+            sl = blocks[:, j0:]
+            if pack24:
+                # little-endian: bytes 0..2 carry the value, byte 3 is 0
+                b3 = jax.lax.bitcast_convert_type(sl, jnp.int8)[..., :3]
+                raw = np.asarray(b3)  # [nb, nj', c_ti, c_tj, 3] int8
+                buf = np.zeros(raw.shape[:-1] + (4,), dtype=np.int8)
+                buf[..., :3] = raw
+                part = buf.view(np.int32)[..., 0]
+            else:
+                part = np.asarray(sl)
+            k_full[
+                i0 * self.c_i : (i0 + nb) * self.c_i, j0 * self.c_j :
+            ] = part.transpose(0, 2, 1, 3).reshape(
+                nb * self.c_i, (n_j - j0) * self.c_j
+            )
+
+        # blocked symmetric fill: upper entries are complete (every upper
+        # block position is live in some band); lower entries inside live
+        # diagonal-crossing blocks are already correct and harmlessly
+        # overwritten with their (equal) mirror
+        bsz = 2048
+        for c0 in range(0, self.n_pad, bsz):
+            c1 = min(c0 + bsz, self.n_pad)
+            blk = k_full[c0:c1, c0:c1]
+            blk[:] = np.triu(blk) + np.triu(blk, 1).T
+            for r0 in range(c1, self.n_pad, bsz):
+                r1 = min(r0 + bsz, self.n_pad)
+                k_full[r0:r1, c0:c1] = k_full[c0:c1, r0:r1].T
+        return k_full.astype(np.int64)
 
     def _exact_sharded(self, x) -> np.ndarray:
         """Mesh-parallel strips: round-robin over all devices, K rows local.

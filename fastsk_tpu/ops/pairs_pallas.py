@@ -62,8 +62,9 @@ def binom_weight(d: jnp.ndarray, g: int, k: int) -> jnp.ndarray:
 
 
 def _pairs_kernel(
-    xi_ref,  # [TI, F] bf16
-    xj_ref,  # [TJ, F] bf16
+    i0_ref,  # [1] int32 scalar prefetch: band start (in i-block units)
+    xi_ref,  # [TI, F] bf16 or int8
+    xj_ref,  # [TJ, F] bf16 or int8
     out_ref,  # [1, 1, c_ti, c_tj] int32
     s1_ref,  # [c_ti, TJ] int32 scratch
     *,
@@ -74,11 +75,12 @@ def _pairs_kernel(
     c_tj: int,
     n_chunks: int,
 ):
-    i = pl.program_id(0)
+    i = i0_ref[0] + pl.program_id(0)
     j = pl.program_id(1)
     ti = c_ti * p_pad
     tj = c_tj * p_pad
     chunk = tj // n_chunks
+    int8_in = xi_ref.dtype == jnp.int8
     # skip tiles strictly below the window-space diagonal (mirrored later)
     live = (j + 1) * tj > i * ti
 
@@ -92,8 +94,12 @@ def _pairs_kernel(
                 xi,
                 xj_ref[c * chunk : (c + 1) * chunk, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                # int8 path: 0/1 operands on the int8 MXU (2x bf16 peak),
+                # exact int32 match counts <= g
+                preferred_element_type=jnp.int32 if int8_in else jnp.float32,
             )  # [TI, chunk] — match counts, exact small integers
+            if int8_in:
+                d = d.astype(jnp.float32)
             w = binom_weight(d, g, k).astype(jnp.int32)
             # windows -> sequences, stage 1: sum over the p axis (sublane-
             # group reshape-sum) in int32 — exact to 2^31, covered by the
@@ -114,22 +120,27 @@ def _pairs_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "k", "p_pad", "c_ti", "c_tj", "interpret"),
+    static_argnames=("g", "k", "p_pad", "c_ti", "c_tj", "n_i_band", "interpret"),
 )
 def pairs_kernel_blocks(
-    x: jnp.ndarray,  # [n_rows, F] bf16, n_rows = n_pad * p_pad
+    x: jnp.ndarray,  # [n_rows, F] bf16 or int8, n_rows = n_pad * p_pad
+    i0: jnp.ndarray = None,  # scalar int32 — band start (i-block units)
     *,
     g: int,
     k: int,
     p_pad: int,
     c_ti: int,
     c_tj: int,
+    n_i_band: int = 0,  # 0 = all i blocks in one call
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Upper-triangular partial kernel blocks ``[n_i, n_j, c_ti, c_tj]``.
+    """Upper-triangular partial kernel blocks ``[n_i_band, n_j, c_ti, c_tj]``
+    for the i-block band starting at ``i0``.
 
-    Caller assembles: transpose(0,2,1,3).reshape(n_pad, n_pad), then
-    triu + mirror.
+    Caller assembles: transpose(0,2,1,3).reshape(rows, n_pad), then
+    triu + mirror. Banding lets the engine stream each band's result to
+    the host while later bands compute (the full matrix is ~200 MB on the
+    headline shapes and the device->host link is the bottleneck).
     """
     n_rows, f = x.shape
     ti = c_ti * p_pad
@@ -137,15 +148,18 @@ def pairs_kernel_blocks(
     assert n_rows % ti == 0 and n_rows % tj == 0, (n_rows, ti, tj)
     n_i = n_rows // ti
     n_j = n_rows // tj
+    if not n_i_band:
+        n_i_band = n_i
+    if i0 is None:
+        i0 = jnp.int32(0)
 
-    # D chunk tile <= ~5 MB f32: chunk the q axis inside the kernel
+    # D chunk tile <= ~5 MB: chunk the q axis inside the kernel
     n_chunks = 1
     while ti * (tj // n_chunks) * 4 > 5 * 2**20:
         n_chunks *= 2
     while tj % n_chunks:
         n_chunks //= 2
 
-    grid = (n_i, n_j)
     kernel = functools.partial(
         _pairs_kernel,
         g=g,
@@ -155,21 +169,27 @@ def pairs_kernel_blocks(
         c_tj=c_tj,
         n_chunks=n_chunks,
     )
-    flops = 2 * n_rows * n_rows * f // 2  # triangular
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
+    flops = 2 * (n_i_band * ti) * n_rows * f // 2  # triangular
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_i_band, n_j),
         in_specs=[
-            pl.BlockSpec((ti, f), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, f), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, f), lambda i, j, i0: (i0[0] + i, 0)),
+            pl.BlockSpec((tj, f), lambda i, j, i0: (j, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, c_ti, c_tj), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, c_ti, c_tj), lambda i, j, i0: (i, j, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((n_i, n_j, c_ti, c_tj), jnp.int32),
         scratch_shapes=[pltpu.VMEM((c_ti, tj), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_i_band, n_j, c_ti, c_tj), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=2 * n_rows * f * 2, transcendentals=0
+            flops=flops,
+            bytes_accessed=2 * n_rows * f * x.dtype.itemsize,
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x)
+    )(jnp.asarray(i0, jnp.int32).reshape(1), x, x)

@@ -90,3 +90,34 @@ def test_pallas_kernel_interpret_matches_oracle(rng):
     upper = eng._exact_pallas(x, interpret=True)[: eng.n, : eng.n]
     K_p = np.triu(upper) + np.triu(upper, 1).T
     np.testing.assert_array_equal(K_o, K_p)
+
+
+def test_pallas_int8_band_matches_oracle(rng):
+    """int8 MXU path + banded launches (interpret mode) equal the oracle."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.ops import pairs, pairs_pallas
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = [rng.integers(1, 5, size=24).tolist() for _ in range(8)]
+    g, m = 6, 3
+    K_o = oracle.exact_counts(X, g, m)
+    enc = encode_sequences(X)
+    p_pad = -(-(enc.max_len - g + 1) // 8) * 8
+    x = pairs.onehot_windows(
+        jnp.asarray(enc.ids), jnp.asarray(enc.lengths),
+        g=g, alpha=enc.hash_base, code_min=enc.code_min, p_pad=p_pad,
+        dtype=jnp.int8,
+    ).reshape(8 * p_pad, g * enc.hash_base)
+    kwargs = dict(g=g, k=g - m, p_pad=p_pad, c_ti=1, c_tj=2, interpret=True)
+    full = np.zeros((8, 8), dtype=np.int64)
+    for i0 in range(0, 8, 3):  # bands of 3 i-blocks (last partial)
+        nb = min(3, 8 - i0)
+        blocks = pairs_pallas.pairs_kernel_blocks(
+            x, jnp.int32(i0), n_i_band=nb, **kwargs
+        )
+        part = np.asarray(blocks, dtype=np.int64).transpose(0, 2, 1, 3)
+        full[i0 : i0 + nb] = part.reshape(nb, 8)
+    upper = np.triu(full)
+    K = upper + np.triu(full, 1).T
+    np.testing.assert_array_equal(K_o, K)

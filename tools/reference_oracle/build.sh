@@ -1,0 +1,15 @@
+#!/bin/sh
+# Build the reference-oracle kernel dumper against the UNMODIFIED reference
+# C++ engine sources (read-only checkout at /root/reference). The resulting
+# binary computes the reference's exact normalized kernel for a fasta pair
+# and prints it at full float64 round-trip precision (%.17g).
+set -e
+REF=${REF:-/root/reference/src/fastsk/_fastsk}
+cd "$(dirname "$0")"
+g++ -O3 -march=native -I "$REF" dump_kernel.cpp \
+    "$REF/shared.cpp" "$REF/fastsk_kernel.cpp" \
+    -o dump_kernel -lpthread
+g++ -O3 -march=native -I "$REF" bench_main.cpp \
+    "$REF/shared.cpp" "$REF/fastsk_kernel.cpp" \
+    -o bench_main -lpthread
+echo "built $(pwd)/dump_kernel and $(pwd)/bench_main"

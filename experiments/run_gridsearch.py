@@ -37,6 +37,7 @@ def gridsearch_dataset(prefix, data_locations, regression=False, log=print):
     min_len = min(len(s) for s in runner.train_seq + runner.test_seq)
 
     best = None
+    rows = []
     for g in range(4, 16):
         if g > min_len:
             continue
@@ -47,6 +48,7 @@ def gridsearch_dataset(prefix, data_locations, regression=False, log=print):
                 row = {"dataset": prefix, "g": g, "m": m, "C": "",
                        "score": r2, "metric": "r2",
                        "time_s": round(time.time() - t0, 2)}
+                rows.append(row)
                 if best is None or row["score"] > best["score"]:
                     best = row
                 log(f"  g={g} m={m}: r2={r2:.4f}")
@@ -63,11 +65,12 @@ def gridsearch_dataset(prefix, data_locations, regression=False, log=print):
                 row = {"dataset": prefix, "g": g, "m": m, "C": C,
                        "score": auc, "metric": "auc",
                        "time_s": round(time.time() - t0, 2)}
+                rows.append(row)
                 if best is None or row["score"] > best["score"]:
                     best = row
             log(f"  g={g} m={m}: best-so-far auc={best['score']:.4f} "
                 f"(g={best['g']} m={best['m']} C={best['C']})")
-    return best
+    return best, rows
 
 
 def main(argv=None):
@@ -87,22 +90,29 @@ def main(argv=None):
         ap.error("provide --datasets or --csv")
 
     results = []
+    all_rows = []
     for name in names:
         print(f"[gridsearch] {name}")
-        best = gridsearch_dataset(
+        best, rows = gridsearch_dataset(
             name, (args.data, "data"), regression=args.regression
         )
+        all_rows.extend(rows)
         if best:
             results.append(best)
             print(f"[gridsearch] {name} best: {best}")
 
+    fields = ["dataset", "g", "m", "C", "score", "metric", "time_s"]
     with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(
-            f, fieldnames=["dataset", "g", "m", "C", "score", "metric", "time_s"]
-        )
+        w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(results)
-    print(f"wrote {args.out} ({len(results)} rows)")
+    full = args.out.replace(".csv", "_full.csv")
+    with open(full, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(all_rows)
+    print(f"wrote {args.out} ({len(results)} best rows) and "
+          f"{full} ({len(all_rows)} sweep rows)")
 
 
 if __name__ == "__main__":

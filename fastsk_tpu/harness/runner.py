@@ -209,13 +209,25 @@ class FastskMulticlassRunner:
         I: int = 50,
         C: float = 1.0,
         skip_variance: bool = True,
+        svm: str = "linear_ovr",
     ) -> dict:
-        from ..svm.linear import MulticlassLinearSVC
-
+        """``svm``: "linear_ovr" = one-vs-rest linear SVC on the EKM (the
+        reference's sklearn path); "kernel_ovo" = LIBSVM-style one-vs-one
+        C-SVC directly on the precomputed kernel (svm/ovo.py)."""
         fsk = FastSK(
             g=g, m=m, approx=approx, max_iters=I, skip_variance=skip_variance
         )
         fsk.compute_kernel(self.train_seq, self.test_seq)
+        if svm == "kernel_ovo":
+            from ..svm.kernel_svm import KernelSVC
+
+            k = fsk.kernel
+            ntr = fsk.n_str_train
+            clf = KernelSVC(C=C).fit(k[:ntr, :ntr], np.asarray(self.Ytrain))
+            preds = clf.predict(k[ntr:, :ntr])
+            return {"acc": float(np.mean(preds == np.asarray(self.Ytest)))}
+        from ..svm.linear import MulticlassLinearSVC
+
         Xtrain = np.array(fsk.get_train_kernel())
         Xtest = np.array(fsk.get_test_kernel())
         clf = MulticlassLinearSVC(C=C).fit(Xtrain, self.Ytrain)

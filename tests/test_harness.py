@@ -176,3 +176,31 @@ def test_multiclass_runner_end_to_end(tmp_path, rng):
     )
     res = runner.train_and_test(g=6, m=2, approx=False)
     assert res["acc"] > 0.7
+
+
+def test_multiclass_runner_kernel_ovo(tmp_path, rng):
+    """The kernel one-vs-one path classifies the synthetic MADAR-style
+    task as well as the linear OvR path."""
+    motifs = {"AAA": [1, 1, 2, 2, 1, 1], "BBB": [3, 3, 4, 4, 3, 3],
+              "CCC": [5, 6, 5, 6, 5, 6]}
+
+    def make(n):
+        lines = []
+        for _ in range(n):
+            lab = ("AAA", "BBB", "CCC")[rng.integers(0, 3)]
+            s = rng.integers(0, 26, size=30)
+            pos = rng.integers(0, 24)
+            s[pos : pos + 6] = motifs[lab]
+            lines.append("".join(chr(97 + v) for v in s) + "\t" + lab)
+        return "\n".join(lines) + "\n"
+
+    (tmp_path / "tr.tsv").write_text(make(60))
+    (tmp_path / "te.tsv").write_text(make(24))
+
+    from fastsk_tpu.harness.runner import FastskMulticlassRunner
+
+    runner = FastskMulticlassRunner(
+        str(tmp_path / "tr.tsv"), str(tmp_path / "te.tsv")
+    )
+    res = runner.train_and_test(g=6, m=2, approx=False, svm="kernel_ovo")
+    assert res["acc"] > 0.7

@@ -212,3 +212,32 @@ def test_cli_checkpoint_flag(fasta_pair, tmp_path, capsys):
               "--checkpoint", ck, "--checkpoint-every", "4", tr, te])
     out2 = json.loads(capsys.readouterr().out.strip())
     assert out1["auc"] == out2["auc"]
+
+
+def test_fastsk_predict_tool(tmp_path, rng):
+    """fastsk-predict applies a LIBSVM text model to a saved kernel and
+    reproduces the in-process predictions (svm-predict parity, C12)."""
+    import numpy as np
+
+    from fastsk_tpu import FastSK
+    from fastsk_tpu.predict_cli import main as predict_main
+    from fastsk_tpu.svm.kernel_svm import save_svm_model
+
+    X = [rng.integers(1, 5, size=30).tolist() for _ in range(30)]
+    Y = [1, -1] * 15
+    fsk = FastSK(g=5, m=2)
+    fsk.compute_kernel(X[:22], X[22:], Y[:22], Y[22:])
+    fsk.fit(C=1.0, kernel_type="fastsk")
+    kpath = str(tmp_path / "k.npz")
+    fsk.save_kernel(kpath)
+    mpath = str(tmp_path / "m.model")
+    save_svm_model(mpath, fsk._model, fmt="libsvm", svm_type="c_svc")
+
+    out = str(tmp_path / "preds.txt")
+    assert predict_main([mpath, kpath, out, "-b"]) == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("labels ")
+    preds = np.array([int(float(l.split()[0])) for l in lines[1:]])
+    k = fsk.kernel
+    expected = fsk._model.predict(k[22:, :22])
+    np.testing.assert_array_equal(preds, expected)

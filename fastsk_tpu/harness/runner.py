@@ -133,6 +133,9 @@ class FastskRegressor:
 
 
 def _timed_child(queue, prefix, kwargs, steady_runs):
+    from ..utils.observe import enable_compilation_cache
+
+    enable_compilation_cache()
     runner = FastskRunner(prefix)
     t0 = time.time()
     runner.compute_kernel(**kwargs)

@@ -65,3 +65,29 @@ def profiler_trace(log_dir: Optional[str]) -> Iterator[None]:
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    The experiment harness times kernels in fresh subprocesses (kill-on-
+    timeout isolation, reference convention test/utils.py:15-66); without
+    a persistent cache every point would pay full XLA compilation. Set
+    ``FASTSK_COMPILATION_CACHE=0`` to disable, or to a directory to
+    relocate it.
+    """
+    import os
+
+    import jax
+
+    env = os.environ.get("FASTSK_COMPILATION_CACHE", "")
+    if env == "0":
+        return ""
+    path = path or env or os.path.expanduser("~/.cache/fastsk_tpu/jax")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return ""
+    return path

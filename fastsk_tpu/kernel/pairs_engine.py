@@ -34,6 +34,17 @@ def _next_multiple(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_onehot_windows_jit = jax.jit(
+    pairs.onehot_windows,
+    static_argnames=("g", "alpha", "code_min", "p_pad", "dtype"),
+)
+
+
+@jax.jit
+def _blocks_max(blocks):
+    return jnp.max(jnp.stack([jnp.max(b) for b in blocks]))
+
+
 class PairsGkmEngine:
     """Exact-mode engine over the all-pairs binomial identity."""
 
@@ -112,10 +123,7 @@ class PairsGkmEngine:
         # the Pallas path runs D on the int8 MXU (2x bf16 peak on v5e);
         # the XLA/mesh paths matmul in bf16
         dtype = jnp.int8 if self.backend == "pallas" and self.mesh is None else jnp.bfloat16
-        x = jax.jit(
-            pairs.onehot_windows,
-            static_argnames=("g", "alpha", "code_min", "p_pad", "dtype"),
-        )(
+        x = _onehot_windows_jit(
             self._ids,
             self._lengths,
             g=self.g,
@@ -197,13 +205,7 @@ class PairsGkmEngine:
                 )
             )
         # device max decides the transfer encoding (tiny scalar fetch)
-        gmax = int(
-            np.asarray(
-                jax.jit(lambda bs: jnp.max(jnp.stack([jnp.max(b) for b in bs])))(
-                    [b for _, b in outs]
-                )
-            )
-        )
+        gmax = int(np.asarray(_blocks_max([b for _, b in outs])))
         pack24 = gmax < (1 << 24) and not interpret
 
         k_full = np.zeros((self.n_pad, self.n_pad), dtype=np.int32)
@@ -301,6 +303,16 @@ class PairsGkmEngine:
                 n_strips_j=self.n_strips_j,
             )
         return np.asarray(k_acc, dtype=np.int64)
+
+
+from ..ops import pairs_packed as _pairs_packed
+
+_build_packed_x_jit = jax.jit(
+    _pairs_packed.build_packed_x, static_argnames=("g", "alpha", "code_min")
+)
+_build_gb_all_jit = jax.jit(
+    _pairs_packed.build_gb_all, static_argnames=("tile", "c_pad")
+)
 
 
 class PackedPairsEngine:
@@ -423,10 +435,7 @@ class PackedPairsEngine:
             progress, "packed pairs kernel",
             self.n * (self.n + 1) / 2 * math.comb(self.g, self.k), "pairs",
         ):
-            x = jax.jit(
-                pairs_packed.build_packed_x,
-                static_argnames=("g", "alpha", "code_min"),
-            )(
+            x = _build_packed_x_jit(
                 self._ids, self._seq_of, self._win_of,
                 g=self.g, alpha=self.alpha, code_min=self.code_min,
             )
@@ -438,10 +447,7 @@ class PackedPairsEngine:
                     for _ in range(self.n_digits)
                 )
                 if self.backend == "pallas":
-                    gb_all = jax.jit(
-                        pairs_packed.build_gb_all,
-                        static_argnames=("tile", "c_pad"),
-                    )(
+                    gb_all = _build_gb_all_jit(
                         self._seq_of, self._first_seq,
                         tile=self.tile, c_pad=self.c_pad,
                     )

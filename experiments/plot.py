@@ -195,6 +195,7 @@ PLOTTERS = {
 }
 
 
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", metavar="DIR", help="render every known CSV in DIR")
@@ -211,7 +212,58 @@ def main(argv=None):
                 if path.endswith(f"_{kind}.csv"):
                     fn(path, path.replace(".csv", ".png"))
                     print(f"rendered {path}")
+        pj = os.path.join(args.all, "parity_full.json")
+        if os.path.exists(pj):
+            plot_parity_scatter(pj, os.path.join(args.all, "parity_scatter.png"))
+            plot_auc_bars(pj, os.path.join(args.all, "parity_auc_bars.png"))
+            print(f"rendered parity figures from {pj}")
 
 
 if __name__ == "__main__":
     main()
+
+
+def plot_parity_scatter(json_path, out):
+    """Published exact AUC vs ours, one point per dataset (the Table1/
+    Table2 reproduction view) — reads the parity_*.json artifacts."""
+    import json
+
+    rows = json.load(open(json_path))
+    pub = [r["published_exact"] for r in rows if r.get("published_exact")]
+    ours = [r["exact_auc"] for r in rows if r.get("published_exact")]
+    names = [r["dataset"] for r in rows if r.get("published_exact")]
+    fig, ax = plt.subplots(figsize=(4.5, 4.5))
+    ax.plot([0.5, 1.0], [0.5, 1.0], linestyle="--", color="gray", lw=1)
+    ax.scatter(pub, ours, s=18)
+    for x, y, n in zip(pub, ours, names):
+        if abs(x - y) > 0.01:
+            ax.annotate(n, (x, y), fontsize=6)
+    ax.set_xlabel("published exact AUC")
+    ax.set_ylabel("fastsk-tpu exact AUC")
+    ax.set_title("AUC parity (labels mark >0.01 outliers,\nall shown reference-side artifacts)", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_auc_bars(json_path, out):
+    """Per-dataset AUC bars, ours vs published exact (multi-dataset
+    panel family of results/plot.py)."""
+    import json
+
+    rows = [r for r in json.load(open(json_path)) if r.get("published_exact")]
+    rows.sort(key=lambda r: r["dataset"])
+    idx = range(len(rows))
+    fig, ax = plt.subplots(figsize=(max(6, 0.45 * len(rows)), 3.5))
+    w = 0.4
+    ax.bar([i - w / 2 for i in idx], [r["exact_auc"] for r in rows], w,
+           label="fastsk-tpu exact")
+    ax.bar([i + w / 2 for i in idx], [r["published_exact"] for r in rows], w,
+           label="published exact", alpha=0.7)
+    ax.set_xticks(list(idx))
+    ax.set_xticklabels([r["dataset"] for r in rows], rotation=60,
+                       ha="right", fontsize=7)
+    ax.set_ylim(0.5, 1.02)
+    ax.set_ylabel("AUC")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)

@@ -188,7 +188,11 @@ class PairsGkmEngine:
 
         n_i = self.n_pad // self.c_i
         n_j = self.n_pad // self.c_j
-        band = max(1, -(-n_i // 12))
+        # small matrices (< ~64 MB upper triangle) skip the streaming/
+        # packing machinery: transfer isn't the bottleneck there, and the
+        # extra programs would just multiply compilations
+        small = self.n_pad * self.n_pad * 2 <= 64 * 2**20
+        band = n_i if small else max(1, -(-n_i // 12))
         kwargs = dict(
             g=self.g, k=self.k, p_pad=self.p_pad,
             c_ti=self.c_i, c_tj=self.c_j, interpret=interpret,
@@ -204,9 +208,12 @@ class PairsGkmEngine:
                     ),
                 )
             )
-        # device max decides the transfer encoding (tiny scalar fetch)
-        gmax = int(np.asarray(_blocks_max([b for _, b in outs])))
-        pack24 = gmax < (1 << 24) and not interpret
+        if small or interpret:
+            pack24 = False
+        else:
+            # device max decides the transfer encoding (tiny scalar fetch)
+            gmax = int(np.asarray(_blocks_max([b for _, b in outs])))
+            pack24 = gmax < (1 << 24)
 
         k_full = np.zeros((self.n_pad, self.n_pad), dtype=np.int32)
         for i0, blocks in outs:

@@ -60,28 +60,33 @@ def pack_windows(
         win_of[a:b] = np.arange(p[s], dtype=np.int32)
 
     # per-strip: local sequence span + per-local-seq end-row boundaries
-    first_seq = np.zeros(n_strips, dtype=np.int32)
-    c_strip = np.zeros(n_strips, dtype=np.int32)
-    for t in range(n_strips):
-        ids = seq_of[t * tile : (t + 1) * tile]
-        ids = ids[ids >= 0]
-        if len(ids):
-            first_seq[t] = ids[0]
-            c_strip[t] = ids[-1] - ids[0] + 1
-        else:
-            first_seq[t] = len(lengths)
+    # (vectorized — the naive per-cell scan is O(strips * c_max * tile),
+    # seconds of host time on large ragged sets)
+    grid = seq_of.reshape(n_strips, tile)
+    any_valid = (grid >= 0).any(axis=1)
+    first_seq = np.where(
+        any_valid, np.where(grid >= 0, grid, np.iinfo(np.int32).max).min(axis=1),
+        len(lengths),
+    ).astype(np.int32)
+    last_seq = np.where(any_valid, grid.max(axis=1), -1)
+    c_strip = np.where(any_valid, last_seq - first_seq + 1, 0).astype(np.int32)
     c_max = int(max(c_strip.max(initial=1), 1))
     # bounds[t, c]: 1 + last row index (within the strip) of local seq c —
-    # cumsum gathered at bounds-1 gives per-seq prefix totals
-    bounds = np.zeros((n_strips, c_max), dtype=np.int32)
-    for t in range(n_strips):
-        ids = seq_of[t * tile : (t + 1) * tile]
-        for c in range(c_max):
-            s = first_seq[t] + c
-            if c < c_strip[t]:
-                bounds[t, c] = int(np.max(np.nonzero(ids == s)[0])) + 1
-            else:
-                bounds[t, c] = bounds[t, c - 1] if c else 0
+    # cumsum gathered at bounds-1 gives per-seq prefix totals; past the
+    # strip's last sequence the boundary carries forward (same prefix)
+    rows = np.arange(total_pad, dtype=np.int64)
+    t_of = rows // tile
+    valid = seq_of >= 0
+    local = seq_of.astype(np.int64) - first_seq[t_of]
+    flat = np.zeros(n_strips * c_max, dtype=np.int32)
+    np.maximum.at(
+        flat,
+        (t_of[valid] * c_max + local[valid]).astype(np.int64),
+        (rows[valid] % tile + 1).astype(np.int32),
+    )
+    bounds = np.maximum.accumulate(
+        flat.reshape(n_strips, c_max), axis=1
+    ).astype(np.int32)
     return dict(
         p=p,
         rows=rows,

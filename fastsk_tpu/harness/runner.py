@@ -200,7 +200,19 @@ class FastskMulticlassRunner:
     def __init__(self, train_file: str, test_file: str, reader=None):
         from ..io.readers import DslUtility
 
-        reader = reader or DslUtility()
+        if reader is None:
+            if train_file.endswith(".fasta"):
+                # webkb/sentiment ship as FASTA with integer labels beyond
+                # {-1,0,1}; read them through the multiclass FASTA path.
+                fasta = FastaUtility()
+                self.train_seq, self.Ytrain = fasta.read_data(
+                    train_file, multiclass=True
+                )
+                self.test_seq, self.Ytest = fasta.read_data(
+                    test_file, multiclass=True
+                )
+                return
+            reader = DslUtility()
         self.train_seq, self.Ytrain = reader.read_data(train_file)
         self.test_seq, self.Ytest = reader.read_data(test_file)
 

@@ -133,15 +133,21 @@ class FastaUtility:
         data_file: str,
         vocab: str = "inferred",
         regression: bool = False,
+        multiclass: bool = False,
     ) -> Tuple[List[List[int]], List[Label]]:
         """Read a FASTA-like file into integer-encoded sequences and labels.
 
         Returns ``(X, Y)`` where ``X`` is a list of per-character id lists and
         ``Y`` the label list. Repeated calls with the same utility share one
         vocabulary, which is how train/test files get a consistent encoding.
+
+        ``multiclass=True`` lifts the reference's {-1, 0, 1} label
+        restriction (utils.py:78-82) to any integer label — the format the
+        shipped ``webkb``/``sentiment`` corpora use (labels 0-3 / 1-2),
+        which no reference reader can actually load.
         """
         assert vocab.lower() in ("dna", "protein", "inferred")
-        if not regression:
+        if not regression and not multiclass:
             native = self._try_native(data_file)
             if native is not None:
                 return native
@@ -160,7 +166,8 @@ class FastaUtility:
                         Y.append(split[1])
                     else:
                         label = int(split[1])
-                        assert label in (-1, 0, 1), f"bad label {label}"
+                        if not multiclass:
+                            assert label in (-1, 0, 1), f"bad label {label}"
                         Y.append(label)
                     label_line = False
                 else:

@@ -250,3 +250,63 @@ def test_rbf_gamma_uses_nfeat(rng):
     assert fsk.nfeat == sum(30 - 4 + 1 for _ in range(24))
     fsk.fit(kernel_type="rbf")
     assert fsk.score("accuracy") >= 0.0
+
+
+# ------------------------------------------------- real multiclass data (webkb)
+
+
+def _webkb_slice(tmp_path, name, per_class, max_len=160):
+    """Write a small balanced slice of the shipped 4-class webkb corpus."""
+    import os
+
+    src = os.path.join("/root/reference/data", name)
+    if not os.path.exists(src):
+        pytest.skip("reference webkb data not available")
+    taken = {}
+    out = []
+    with open(src) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    for lab, seq in zip(lines[::2], lines[1::2]):
+        c = int(lab[1:])
+        if taken.get(c, 0) >= per_class or len(seq) < 20:
+            continue
+        taken[c] = taken.get(c, 0) + 1
+        out += [lab, seq[:max_len]]
+    dst = tmp_path / name
+    dst.write_text("\n".join(out) + "\n")
+    assert len(taken) == 4
+    return str(dst)
+
+
+def test_webkb_multiclass_runner_kernel_ovo(tmp_path):
+    """End-to-end 4-class OvO kernel SVM on real webkb text: the runner's
+    kernel_ovo path must agree with sklearn SVC(precomputed) on the same
+    gkm kernel, and the FASTA multiclass reader must accept labels 0-3."""
+    from sklearn.svm import SVC
+
+    from fastsk_tpu.harness.runner import FastskMulticlassRunner
+    from fastsk_tpu.svm.kernel_svm import KernelSVC
+
+    train = _webkb_slice(tmp_path, "webkb-train.fasta", per_class=12)
+    test = _webkb_slice(tmp_path, "webkb-test.fasta", per_class=6)
+    runner = FastskMulticlassRunner(train, test)
+    assert sorted(set(runner.Ytrain)) == [0, 1, 2, 3]
+
+    res = runner.train_and_test(g=4, m=1, approx=False, svm="kernel_ovo")
+    assert 0.0 <= res["acc"] <= 1.0
+
+    # cross-check the OvO path against sklearn on the identical kernel
+    from fastsk_tpu import FastSK
+
+    fsk = FastSK(g=4, m=1)
+    fsk.compute_kernel(runner.train_seq, runner.test_seq)
+    ntr = fsk.n_str_train
+    K, Kt = fsk.kernel[:ntr, :ntr], fsk.kernel[ntr:, :ntr]
+    y = np.asarray(runner.Ytrain)
+    ours = KernelSVC(C=1.0).fit(K, y).predict(Kt)
+    theirs = SVC(C=1.0, kernel="precomputed").fit(K, y).predict(Kt)
+    assert (ours == theirs).mean() >= 0.95
+
+    # the linear OvR reference path still runs on the same reader output
+    res2 = runner.train_and_test(g=4, m=1, approx=False, svm="linear_ovr")
+    assert 0.0 <= res2["acc"] <= 1.0

@@ -151,7 +151,8 @@ def chips(prefix, out):
 
     runner = FastskRunner(prefix, data_locations=DATA)
     n_dev = len(jax.devices())
-    f, w = _writer(out, ["devices", "time_s", "speedup"])
+    platform = jax.devices()[0].platform
+    f, w = _writer(out, ["devices", "platform", "time_s", "speedup"])
     base_t = None
     with f:
         d = 1
@@ -162,7 +163,8 @@ def chips(prefix, out):
             runner.compute_kernel(g=10, m=4, config=cfg)
             t = time.time() - t0
             base_t = base_t or t
-            w.writerow({"devices": d, "time_s": round(t, 3),
+            w.writerow({"devices": d, "platform": platform,
+                        "time_s": round(t, 3),
                         "speedup": round(base_t / t, 3)})
             print(f"devices={d}: {t:.2f}s", flush=True)
             d *= 2

@@ -48,7 +48,9 @@ class KernelConfig:
     exact_engine: str = "auto"
 
     # All-pairs backend: "auto" uses the fused Pallas kernel on TPU and the
-    # blocked XLA path elsewhere; "pallas" / "xla" force one.
+    # blocked XLA path elsewhere; "pallas" (pair-list sweep) /
+    # "pallas_grouped" (per-a-strip grouped calls) / "xla" force one;
+    # "*_interpret" variants run the Pallas kernels in interpret mode.
     pairs_backend: str = "auto"
 
     # Sorted/rank engine: pairs per count-matmul slab.

@@ -315,10 +315,14 @@ class PairsGkmEngine:
 from ..ops import pairs_packed as _pairs_packed
 
 _build_packed_x_jit = jax.jit(
-    _pairs_packed.build_packed_x, static_argnames=("g", "alpha", "code_min")
+    _pairs_packed.build_packed_x,
+    static_argnames=("g", "alpha", "code_min", "dtype"),
 )
 _build_gb_all_jit = jax.jit(
     _pairs_packed.build_gb_all, static_argnames=("tile", "c_pad")
+)
+_build_ga_all_jit = jax.jit(
+    _pairs_packed.build_ga_all, static_argnames=("tile", "c_pad")
 )
 
 
@@ -333,6 +337,7 @@ class PackedPairsEngine:
 
     TILE = 2048
     GROUP = 8  # b strips per fused-Pallas call (amortizes op dispatch)
+    SLAB_BYTES = 128 << 20  # pair-list parts-array budget per dispatch
 
     def __init__(
         self,
@@ -392,9 +397,13 @@ class PackedPairsEngine:
         # (ops/pairs_packed_pallas.py) when the strips fit the VMEM budget;
         # the blocked XLA path otherwise. Integer results are identical.
         backend = self.config.pairs_backend
-        self.interpret = backend == "pallas_interpret"
-        if self.interpret:
+        self.interpret = backend in (
+            "pallas_interpret", "pallas_grouped_interpret"
+        )
+        if backend == "pallas_interpret":
             backend = "pallas"
+        elif backend == "pallas_grouped_interpret":
+            backend = "pallas_grouped"
         if backend == "auto":
             f = g * self.alpha
             # xa double-buffered + D chunk + digit temps + stage-1 out
@@ -406,10 +415,13 @@ class PackedPairsEngine:
             )
         self.backend = backend
         self.mesh = self.config.mesh
-        # dispatch-amortization group for the fused path (the mesh path
-        # still drives the per-strip s1 kernel, group 1)
+        # dispatch-amortization group for the grouped fused path ("pallas"
+        # = the pair-list sweep, which amortizes over whole slabs instead;
+        # the mesh path still drives the per-strip s1 kernel, group 1)
         self.group = (
-            self.GROUP if backend == "pallas" and self.mesh is None else 1
+            self.GROUP
+            if backend == "pallas_grouped" and self.mesh is None
+            else 1
         )
 
         self.pack = pairs_packed.pack_windows(
@@ -442,18 +454,27 @@ class PackedPairsEngine:
             progress, "packed pairs kernel",
             self.n * (self.n + 1) / 2 * math.comb(self.g, self.k), "pairs",
         ):
+            # int8 feeds the pair-list kernel's int8 MXU D-matmul (0/1
+            # operands, exact int32 counts); other backends keep bf16
             x = _build_packed_x_jit(
                 self._ids, self._seq_of, self._win_of,
                 g=self.g, alpha=self.alpha, code_min=self.code_min,
+                dtype=(
+                    jnp.int8
+                    if self.backend == "pallas" and self.mesh is None
+                    else jnp.bfloat16
+                ),
             )
             if self.mesh is not None:
                 k_sorted = self._exact_sharded_planes(x, n_pad)
+            elif self.backend == "pallas":
+                k_sorted = self._exact_pairlist(x, n_pad)
             else:
                 planes = tuple(
                     jnp.zeros((n_pad, n_pad), jnp.int32)
                     for _ in range(self.n_digits)
                 )
-                if self.backend == "pallas":
+                if self.backend == "pallas_grouped":
                     gb_all = _build_gb_all_jit(
                         self._seq_of, self._first_seq,
                         tile=self.tile, c_pad=self.c_pad,
@@ -496,6 +517,64 @@ class PackedPairsEngine:
         pos = np.empty(self.n, dtype=np.int64)
         pos[self.order] = np.arange(self.n)
         return k_sorted[np.ix_(pos, pos)]
+
+    def _exact_pairlist(self, x, n_pad: int) -> np.ndarray:
+        """Pair-list Pallas sweep: the upper-triangle strip pairs are
+        processed in fixed-size slabs, each one fused Pallas dispatch +
+        one scatter-add per digit plane (ops/pairs_packed.py:
+        packed_pairlist_sweep). No sub-diagonal waste, no per-pair XLA
+        RMW chains — the two residual costs of the grouped path."""
+        from ..ops import pairs_packed
+
+        ns = self.n_strips
+        ga_all = _build_ga_all_jit(
+            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+        )
+        gb_all = _build_gb_all_jit(
+            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+        )
+        first_seq = np.asarray(self.pack["first_seq"])
+        ab = [(a, b) for a in range(ns) for b in range(a, ns)]
+        n_pairs = len(ab)
+        # slab size: bound the [S, n_digits, c_pad, c_pad] parts array
+        # (and the SMEM-resident prefetch lists) — one compile for all
+        # slabs; padding slots compute strip (0, 0) and are dropped at
+        # the scatter (FILL_OR_DROP on an out-of-bounds corner)
+        cap = self.SLAB_BYTES // (self.n_digits * self.c_pad**2 * 4)
+        slab = max(1, min(4096, cap, n_pairs))
+        planes = tuple(
+            jnp.zeros((n_pad, n_pad), jnp.int32)
+            for _ in range(self.n_digits)
+        )
+        for s0 in range(0, n_pairs, slab):
+            chunk = ab[s0 : s0 + slab]
+            pad = slab - len(chunk)
+            pa = np.fromiter(
+                (p[0] for p in chunk), np.int32, len(chunk)
+            )
+            pb = np.fromiter(
+                (p[1] for p in chunk), np.int32, len(chunk)
+            )
+            pa = np.concatenate([pa, np.zeros(pad, np.int32)])
+            pb = np.concatenate([pb, np.zeros(pad, np.int32)])
+            idx = np.full((2 * slab, 2), n_pad, dtype=np.int32)
+            for i, (a, b) in enumerate(chunk):
+                idx[i] = (first_seq[a], first_seq[b])
+                if b > a:
+                    idx[slab + i] = (first_seq[b], first_seq[a])
+            planes = pairs_packed.packed_pairlist_sweep(
+                planes, x, ga_all, gb_all,
+                jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(idx),
+                g=self.g, k=self.k, tile=self.tile, c_pad=self.c_pad,
+                n_digits=self.n_digits, digit_base=self.digit_base,
+                interpret=self.interpret,
+            )
+        k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+        for dig in range(self.n_digits):
+            k_sorted += (self.digit_base**dig) * np.asarray(
+                planes[dig], dtype=np.int64
+            )[: self.n, : self.n]
+        return k_sorted
 
     def _exact_sharded_planes(self, x, n_pad: int) -> np.ndarray:
         """Mesh-parallel strips, round-robin: each device accumulates its

@@ -109,16 +109,18 @@ def build_packed_x(
     g: int,
     alpha: int,
     code_min: int,
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """One-hot packed window table ``[R, g * alpha]`` bf16."""
+    """One-hot packed window table ``[R, g * alpha]`` (bf16, or int8 for
+    the pair-list Pallas path's int8 MXU D-matmul — 0/1 either way)."""
     safe_seq = jnp.maximum(seq_of, 0)
     # gather each row's g codes: ids[seq, win + j]
     cols = win_of[:, None] + jnp.arange(g, dtype=jnp.int32)[None, :]
     codes = ids[safe_seq[:, None], cols]  # [R, g]
     codes = codes - code_min
     iota = jnp.arange(alpha, dtype=jnp.int32)
-    oh = (codes[..., None] == iota).astype(jnp.bfloat16)
-    oh = oh * (seq_of >= 0)[:, None, None].astype(jnp.bfloat16)
+    oh = (codes[..., None] == iota).astype(dtype)
+    oh = oh * (seq_of >= 0)[:, None, None].astype(dtype)
     r = seq_of.shape[0]
     return oh.reshape(r, g * alpha)
 
@@ -365,4 +367,78 @@ def packed_strip_update_grouped(
             plane, cols + row_offs[dig].T, (0, fa)
         )
         out.append(plane)
+    return tuple(out)
+
+
+def build_ga_all(
+    seq_of: jnp.ndarray,  # [R] int32
+    first_seq: jnp.ndarray,  # [n_strips] int32
+    *,
+    tile: int,
+    c_pad: int,
+) -> jnp.ndarray:
+    """Per-strip row -> local-i-sequence one-hot ``[n_strips, c_pad,
+    tile]`` bf16 (the transposed per-strip view of build_gb_all), indexed
+    by the pair-list kernel's scalar-prefetch maps."""
+    gb = build_gb_all(seq_of, first_seq, tile=tile, c_pad=c_pad)
+    n_strips = seq_of.shape[0] // tile
+    return jnp.swapaxes(gb.reshape(n_strips, tile, c_pad), 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "k", "tile", "c_pad", "n_digits", "digit_base", "interpret"
+    ),
+    donate_argnums=(0,),
+)
+def packed_pairlist_sweep(
+    planes: Tuple[jnp.ndarray, ...],  # n_digits x [n_pad2, n_pad2] int32
+    x: jnp.ndarray,  # [R, F] bf16/int8
+    ga_all: jnp.ndarray,  # [n_strips, c_pad, tile] bf16
+    gb_all: jnp.ndarray,  # [R, c_pad] bf16
+    pa: jnp.ndarray,  # [S] int32
+    pb: jnp.ndarray,  # [S] int32
+    idx: jnp.ndarray,  # [2S, 2] int32 scatter starts (OOB rows dropped)
+    *,
+    g: int,
+    k: int,
+    tile: int,
+    c_pad: int,
+    n_digits: int,
+    digit_base: int,
+    interpret: bool = False,
+):
+    """One slab of the pair-list sweep: a single fused Pallas dispatch
+    over the ``S`` strip pairs (ops/pairs_packed_pallas.py:
+    packed_pairlist_pallas) plus one scatter-add per digit plane.
+
+    ``idx`` carries, per slab slot, the part block's landing corner
+    (first_seq[a], first_seq[b]) followed by the transposed copy's corner
+    (first_seq[b], first_seq[a]); diagonal (a == b) transposed copies and
+    padding slots point past the plane so FILL_OR_DROP discards them —
+    every ordered sequence pair lands exactly once, like the grouped
+    path's row/col/diag accumulation."""
+    from .pairs_packed_pallas import packed_pairlist_pallas
+
+    parts = packed_pairlist_pallas(
+        x, ga_all, gb_all, pa, pb,
+        g=g, k=k, tile=tile, c_pad=c_pad, n_digits=n_digits,
+        digit_base=digit_base, interpret=interpret,
+    )  # [S, n_digits, c_pad, c_pad] int32
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    out = []
+    for dig in range(n_digits):
+        p_d = parts[:, dig]
+        upd = jnp.concatenate([p_d, jnp.swapaxes(p_d, 1, 2)], axis=0)
+        out.append(
+            jax.lax.scatter_add(
+                planes[dig], idx, upd, dnums,
+                mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+            )
+        )
     return tuple(out)

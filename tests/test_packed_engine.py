@@ -118,3 +118,36 @@ def test_packed_pallas_straddling(rng, small_tile):
     )
     assert eng.n_strips > 5
     np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_pallas_grouped_matches_oracle(rng, small_tile):
+    """The grouped fused backend (the mesh path's building block) stays
+    bit-identical to the oracle alongside the default pair-list sweep."""
+    X = random_ragged_seqs(rng, 8, 60, 150, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PackedPairsEngine(
+        encode_sequences(X), 6, 3,
+        KernelConfig(pairs_backend="pallas_grouped_interpret"),
+    )
+    assert eng.backend == "pallas_grouped"
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_packed_pairlist_multi_slab(rng, small_tile, monkeypatch):
+    """Pair-list slabbing: force a tiny slab so the sweep spans several
+    dispatches (with a padded final slab) and stays bit-exact."""
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine as PPE
+
+    X = random_ragged_seqs(rng, 8, 60, 150, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PackedPairsEngine(
+        encode_sequences(X), 6, 3,
+        KernelConfig(pairs_backend="pallas_interpret"),
+    )
+    n_pairs = eng.n_strips * (eng.n_strips + 1) // 2
+    assert n_pairs > 3
+    # budget for at most 2 slab slots -> >= 2 dispatches + a padded tail
+    monkeypatch.setattr(
+        PPE, "SLAB_BYTES", 2 * eng.n_digits * eng.c_pad**2 * 4
+    )
+    np.testing.assert_array_equal(K_o, eng.exact())

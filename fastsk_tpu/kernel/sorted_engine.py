@@ -29,6 +29,7 @@ from ..ops.sorted_theta import (
     hash_plan,
     sorted_theta_pass,
     sorted_theta_pass_batch,
+    sorted_theta_pass_batch_sum,
 )
 from .config import KernelConfig
 from .engine import ApproxResult
@@ -158,6 +159,17 @@ class SortedGkmEngine:
             **self._static_kwargs(),
         )
 
+    def _pass_batch_sum(self, acc: jnp.ndarray, thetas: np.ndarray) -> jnp.ndarray:
+        """acc + sum of the batch's passes, fused (no [T, n, n] output)."""
+        return sorted_theta_pass_batch_sum(
+            acc,
+            self._windows,
+            self._valid,
+            self._seq_of,
+            jnp.asarray(thetas, dtype=jnp.int32),
+            **self._static_kwargs(),
+        )
+
     # ------------------------------------------------------------- exact
 
     def _sum_stream(self, thetas: np.ndarray) -> np.ndarray:
@@ -171,12 +183,11 @@ class SortedGkmEngine:
         total = len(thetas)
         while i < total:
             t = min(self.theta_batch, total - i, self.spill_every - since)
-            if t == self.theta_batch:
-                ks = jnp.sum(self._pass_batch(thetas[i : i + t]), axis=0)
+            if t == self.theta_batch and t > 1:
+                k_acc = self._pass_batch_sum(k_acc, thetas[i : i + t])
             else:
-                ks = self._pass(thetas[i])
+                k_acc = k_acc + self._pass(thetas[i])
                 t = 1
-            k_acc = k_acc + ks
             i += t
             since += t
             if since >= self.spill_every:

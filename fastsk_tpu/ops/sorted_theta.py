@@ -204,19 +204,22 @@ def _sorted_theta_pass_core(
         c_s = jnp.zeros((n, slab), jnp.float32)
         c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
         if count_split:
-            # counts can exceed bf16-exact range: split into 8-bit digits
-            hi = jnp.floor(c_s * (1.0 / 256.0))
-            lo = c_s - hi * 256.0
-            hi16, lo16 = hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
-            hh = jnp.matmul(hi16, hi16.T, preferred_element_type=jnp.float32)
-            hl = jnp.matmul(hi16, lo16.T, preferred_element_type=jnp.float32)
-            lh = jnp.matmul(lo16, hi16.T, preferred_element_type=jnp.float32)
-            ll = jnp.matmul(lo16, lo16.T, preferred_element_type=jnp.float32)
-            ks = (
-                hh.astype(jnp.int32) * 65536
-                + (hl + lh).astype(jnp.int32) * 256
-                + ll.astype(jnp.int32)
-            )
+            # counts can exceed bf16-exact range: split into base-128
+            # digits, each < 128 so it fits SIGNED int8 — the int8 MXU
+            # path runs at 2x the bf16 rate on v5e and s8xs8->s32 dots
+            # are exact by construction. Digit bound: hi = c >> 7 <=
+            # p_max/128 < 32 under the engine's p_max < 4096 guard
+            # (sorted_engine.py:83).
+            # No int32 overflow: each reassembled term is bounded by the
+            # true per-pass entry K[i,j] <= p_i*p_j <= p_max^2 < 2^31.
+            c_i = c_s.astype(jnp.int32)
+            hi8 = (c_i >> 7).astype(jnp.int8)
+            lo8 = (c_i & 127).astype(jnp.int8)
+            hh = jnp.matmul(hi8, hi8.T, preferred_element_type=jnp.int32)
+            hl = jnp.matmul(hi8, lo8.T, preferred_element_type=jnp.int32)
+            lh = jnp.matmul(lo8, hi8.T, preferred_element_type=jnp.int32)
+            ll = jnp.matmul(lo8, lo8.T, preferred_element_type=jnp.int32)
+            ks = hh * 16384 + (hl + lh) * 128 + ll
         else:
             cb = c_s.astype(jnp.bfloat16)
             ks = jnp.matmul(
@@ -283,3 +286,27 @@ def sorted_theta_pass_batch(
             windows, valid, seq_of, th, **static
         )
     )(thetas)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
+def sorted_theta_pass_batch_sum(
+    acc: jnp.ndarray,  # [n, n] int32 running sum
+    windows: jnp.ndarray,
+    valid: jnp.ndarray,
+    seq_of: jnp.ndarray,
+    thetas: jnp.ndarray,  # [T, k] int32
+    **static,
+) -> jnp.ndarray:
+    """``acc + sum_T pass(theta_t)`` fused in one dispatch: the
+    skip-variance/exact stream never needs the per-theta slices, so the
+    [T, n, n] HBM round-trip of ``sorted_theta_pass_batch`` (T * 4n^2
+    bytes written then re-read for the sum) is skipped — only the [n, n]
+    accumulator lands. Bit-identical to summing the batch slices (int32
+    adds commute; overflow is excluded by the caller's spill bound)."""
+    static["static_slabs"] = True
+    ks = jax.vmap(
+        lambda th: _sorted_theta_pass_core(
+            windows, valid, seq_of, th, **static
+        )
+    )(thetas)
+    return acc + jnp.sum(ks, axis=0)

@@ -40,6 +40,37 @@ def test_sorted_exact_heavy_runs(rng):
     np.testing.assert_array_equal(K_oracle, eng.exact())
 
 
+def test_sorted_count_split_int8_digits(rng):
+    """p_max > 255 routes the slab matmuls through the base-128 int8
+    digit split; low-complexity long sequences push per-pair counts
+    past 255 so both digits are live."""
+    rep = [1, 2, 1, 1, 2, 2] * 50  # len 300, highly repetitive
+    X = [rep, rep[:-6], [2, 1] * 140]
+    X += random_ragged_seqs(rng, 4, 260, 300, alphabet=2)
+    g, m = 4, 2
+    eng = SortedGkmEngine(encode_sequences(X), g, m, KernelConfig(sorted_slab=256))
+    assert eng.p_max > 255  # count_split path engaged
+    K_oracle = oracle.exact_counts(X, g, m)
+    assert K_oracle.max() // 3 > 255 * 255  # per-pass products exceed lo*lo
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_sorted_batch_sum_bitexact(rng):
+    """The fused batch-sum (skip_variance fast path) must equal summing
+    individual passes."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+
+    X = random_ragged_seqs(rng, 8, 8, 20, alphabet=20)
+    eng = SortedGkmEngine(encode_sequences(X), 6, 3, KernelConfig(sorted_slab=64))
+    thetas = enumerate_combinations(6, 3)[:5]
+    acc = jnp.zeros((eng.n, eng.n), jnp.int32)
+    fused = np.asarray(eng._pass_batch_sum(acc, thetas))
+    ref = sum(np.asarray(eng._pass(t), dtype=np.int64) for t in thetas)
+    np.testing.assert_array_equal(fused, ref)
+
+
 def test_sorted_multiword_hash(rng):
     """k * log2(base) > 31 forces multi-word lexicographic keys."""
     X = random_ragged_seqs(rng, 8, 16, 24, alphabet=30)

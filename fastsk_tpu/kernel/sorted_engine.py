@@ -35,6 +35,12 @@ from .config import KernelConfig
 from .engine import ApproxResult
 
 
+@jax.jit
+def _acc_max(k_acc: jnp.ndarray) -> jnp.ndarray:
+    """Max accumulator entry (counts are non-negative)."""
+    return jnp.max(k_acc)
+
+
 @functools.partial(jax.jit, static_argnames=("n_train",))
 def _welford_step(state, ks_int, *, n_train, conv_delta, max_iters):
     """One Monte-Carlo iteration of the reference convergence rule."""
@@ -81,10 +87,11 @@ class SortedGkmEngine:
         self.n = enc.n
         self.p = enc.max_len - g + 1
         self.p_max = int(enc.num_windows(g).max())
-        if self.p_max >= 4096:
+        if self.p_max >= 16384:
             raise ValueError(
-                f"sorted engine requires < 4096 windows per sequence "
-                f"(got {self.p_max}): per-pass f32 products would exceed 2^24"
+                f"sorted engine requires < 16384 windows per sequence "
+                f"(got {self.p_max}): the base-128 int8 digit split needs "
+                f"window counts >> 7 to fit in signed int8"
             )
         self.dpw, self.n_words = hash_plan(self.base, self.k)
         self.slab = self.config.sorted_slab
@@ -117,17 +124,41 @@ class SortedGkmEngine:
         self._seq_of = jax.device_put(jnp.asarray(seq_of), dev)
 
         # per-pass kernel entries are bounded by p_i * p_j <= p_max^2
-        self.spill_every = max(1, ((1 << 31) - 1) // max(self.p_max**2, 1) // 2)
-        # thetas per batched pass: one wide sort + batched count-matmuls
-        # amortize the sort launch (the per-pass bottleneck); bounded by
-        # the [T, n, n] output footprint and the int32 spill bound
-        tb = self.config.theta_batch or max(
-            1, min(8, (256 << 20) // max(self.n * self.n * 4, 1))
-        )
-        self.theta_batch = max(1, min(tb, self.spill_every))
+        self._acc_limit = (1 << 31) - 1
+        self._per_theta_bound = max(self.p_max**2, 1)
+        self.spill_every = max(1, self._acc_limit // self._per_theta_bound // 2)
+        # Long documents (p_max in the thousands) make the worst-case
+        # bound spill every few thetas, but real counts sit far below
+        # p_max^2: switch to an adaptive schedule that checks the actual
+        # device-side accumulator max (one scalar pull per batch, cheap
+        # next to the batch's sort) and spills only when the NEXT batch
+        # could overflow int32.
+        self._adaptive_spill = self.spill_every < 32
         self.mesh = self.config.mesh
+        # thetas per batched pass. Measured on AImed (g=11 m=4, TPU v5e):
+        # the pass is MXU-bound on the slab count-matmuls, so batching the
+        # sorts does NOT pay single-device (tb=1: 4.9 passes/s vs tb=4:
+        # 4.0) — default to per-pass streaming there; the sharded path
+        # keeps batches as its per-device work unit.
+        if self.config.theta_batch:
+            tb = self.config.theta_batch
+        elif self.mesh is None:
+            tb = 1
+        else:
+            tb = max(1, min(8, (256 << 20) // max(self.n * self.n * 4, 1)))
+        batch_cap = (
+            self._acc_limit // self._per_theta_bound
+            if self._adaptive_spill
+            else self.spill_every
+        )
+        self.theta_batch = max(1, min(tb, batch_cap))
+        # upper-block-triangle count-matmuls (ops/sorted_theta.py:_sym_gram)
+        # for the streams that only need the symmetric sum; welford passes
+        # keep the full matrix (its variance statistics read both halves)
+        b = min(8, self.n // 768)
+        self._tri_blocks = b if b >= 2 else 0
 
-    def _static_kwargs(self) -> dict:
+    def _static_kwargs(self, tri: bool = False) -> dict:
         return dict(
             g=self.g,
             base=self.base,
@@ -138,15 +169,16 @@ class SortedGkmEngine:
             dpw=self.dpw,
             n_words=self.n_words,
             count_split=self.p_max > 255,
+            tri_blocks=self._tri_blocks if tri else 0,
         )
 
-    def _pass(self, theta: np.ndarray) -> jnp.ndarray:
+    def _pass(self, theta: np.ndarray, tri: bool = False) -> jnp.ndarray:
         return sorted_theta_pass(
             self._windows,
             self._valid,
             self._seq_of,
             jnp.asarray(theta, dtype=jnp.int32),
-            **self._static_kwargs(),
+            **self._static_kwargs(tri),
         )
 
     def _pass_batch(self, thetas: np.ndarray) -> jnp.ndarray:
@@ -167,10 +199,19 @@ class SortedGkmEngine:
             self._valid,
             self._seq_of,
             jnp.asarray(thetas, dtype=jnp.int32),
-            **self._static_kwargs(),
+            **self._static_kwargs(tri=True),
         )
 
     # ------------------------------------------------------------- exact
+
+    def _must_spill(self, k_acc: jnp.ndarray, next_t: int) -> bool:
+        """True when adding ``next_t`` worst-case thetas could overflow.
+
+        Uses the actual accumulator max (counts are non-negative), so long
+        documents whose worst-case bound p_max^2 is pessimistic spill only
+        when genuinely near the int32 ceiling — normally never."""
+        cur = int(jax.device_get(_acc_max(k_acc)))
+        return cur > self._acc_limit - next_t * self._per_theta_bound
 
     def _sum_stream(self, thetas: np.ndarray) -> np.ndarray:
         """Exact integer sum over a theta stream, batched, int64 on host."""
@@ -182,20 +223,30 @@ class SortedGkmEngine:
         i = 0
         total = len(thetas)
         while i < total:
-            t = min(self.theta_batch, total - i, self.spill_every - since)
+            t = min(self.theta_batch, total - i)
+            if not self._adaptive_spill:
+                t = min(t, self.spill_every - since)
             if t == self.theta_batch and t > 1:
                 k_acc = self._pass_batch_sum(k_acc, thetas[i : i + t])
             else:
-                k_acc = k_acc + self._pass(thetas[i])
+                k_acc = k_acc + self._pass(thetas[i], tri=True)
                 t = 1
             i += t
             since += t
-            if since >= self.spill_every:
+            if self._adaptive_spill:
+                nxt = min(self.theta_batch, total - i)
+                spill = i < total and self._must_spill(k_acc, nxt)
+            else:
+                spill = since >= self.spill_every
+            if spill:
                 host += np.asarray(k_acc, dtype=np.int64)
                 k_acc = jnp.zeros_like(k_acc)
                 since = 0
         host += np.asarray(k_acc, dtype=np.int64)
-        return host
+        # the tri-blocked grams left strictly-lower blocks zero; the upper
+        # triangle is complete and the counts are symmetric — mirror (a
+        # no-op rearrangement when tri_blocks was 0)
+        return np.triu(host) + np.triu(host, 1).T
 
     def _sum_stream_sharded(self, thetas: np.ndarray) -> np.ndarray:
         """Theta-sharded exact sum: each device runs whole batched passes
@@ -234,17 +285,24 @@ class SortedGkmEngine:
                 jnp.asarray(chunk.reshape(n_dev, -1, self.k)),
                 jnp.asarray(live.reshape(n_dev, -1)),
                 mesh=mesh,
-                **self._static_kwargs(),
+                **self._static_kwargs(tri=True),
             )
             since += t_pad // n_dev
-            if since >= self.spill_every:
+            if self._adaptive_spill:
+                # global max over all replicas (conservative for each)
+                spill = i + per_step < total and self._must_spill(
+                    k_dev, self.theta_batch
+                )
+            else:
+                spill = since >= self.spill_every
+            if spill:
                 host += shd.host_gather(k_dev).sum(axis=0)
                 k_dev = jnp.zeros(
                     (n_dev, self.n, self.n), jnp.int32, device=dev_sharding
                 )
                 since = 0
         host += shd.host_gather(k_dev).sum(axis=0)
-        return host
+        return np.triu(host) + np.triu(host, 1).T
 
     def exact(self) -> np.ndarray:
         thetas = enumerate_combinations(self.g, self.k)
@@ -282,6 +340,8 @@ class SortedGkmEngine:
         # flag syncs to the host once per batch instead of per pass
         # (overshot passes are no-ops under the done mask)
         bsz = max(self.theta_batch, 1)
+        host64 = np.zeros((self.n, self.n), dtype=np.int64)
+        since = 0
         for start in range(0, total, bsz):
             batch = stream[start : start + bsz]
             if len(batch) == bsz and bsz > 1:
@@ -299,11 +359,24 @@ class SortedGkmEngine:
                 sd_buf.append(sd)
             if bool(state[3]):
                 break
+            # the int32 count sum spills to host int64 exactly like the
+            # exact stream (the Welford mean/var stay f32 on device) —
+            # without this a long run on worst-case data could overflow
+            # after acc_limit / p_max^2 iterations
+            since += len(batch)
+            if self._adaptive_spill:
+                spill = self._must_spill(state[0], bsz)
+            else:
+                spill = since >= self.spill_every
+            if spill:
+                host64 += np.asarray(state[0], dtype=np.int64)
+                state = (jnp.zeros_like(state[0]),) + state[1:]
+                since = 0
         stdevs = [
             float(s) for s in np.asarray(sd_buf) if not math.isnan(float(s))
         ]
         it_done = int(state[2])
-        counts = np.asarray(state[0], dtype=np.int64)
+        counts = host64 + np.asarray(state[0], dtype=np.int64)
         return ApproxResult(
             counts=counts,
             iters=it_done,

@@ -18,8 +18,10 @@ LSD counting sort does (shared.cpp:156-191) but TPU-shaped:
    corrections for runs straddling a slab boundary (a run has at most N
    pairs, so a +-N window around each boundary bounds the straddler).
 
-Counts are exact integers end to end; the f32 matmuls stay below 2^24
-because per-theta per-pair products are bounded by P_i * P_j.
+Counts are exact integers end to end: window counts (<= p_max < 16384)
+are f32/bf16-exact, pair products run either as bf16 matmuls whose
+products stay below 2^24 (p_max <= 255) or as base-128 int8 digit
+matmuls reassembled in int32 (exact up to p_max^2 < 2^31).
 """
 
 from __future__ import annotations
@@ -59,30 +61,22 @@ def _compact_by_flag(flag: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...]):
     return out[1:-1], out[-1]
 
 
-def _sorted_theta_pass_core(
+def _pass_phase1(
     windows: jnp.ndarray,  # [N * P, g] int32 (invalid rows: any content)
     valid: jnp.ndarray,  # [N * P] bool
     seq_of: jnp.ndarray,  # [N * P] int32
     theta: jnp.ndarray,  # [k] int32
     *,
-    g: int,
     base: int,
     code_min: int,
     n: int,
-    p: int,
-    slab: int,
     dpw: int,
     n_words: int,
-    count_split: bool,
-    static_slabs: bool = False,
-) -> jnp.ndarray:
-    """One exact counting pass K_theta [n, n] int32 over subset ``theta``.
-
-    ``static_slabs`` replaces the data-dependent slab count with the static
-    upper bound (every window a multi-run pair) — required under vmap
-    (batched passes), where each extra iteration past a lane's true count
-    contributes exactly zero (live/straddle masks are all false).
-    """
+):
+    """Hash + sort + compaction for one pass: everything before the slab
+    count-matmuls. Returns ``(diag, mseq, mrank, mcount, m2)`` — the
+    singleton-run diagonal, the compacted multi-run pair arrays (prefix of
+    length ``m2``), and the live pair count."""
     nfeat = windows.shape[0]
     k = theta.shape[0]
 
@@ -173,8 +167,6 @@ def _sorted_theta_pass_core(
         num_segments=n,
         indices_are_sorted=False,
     )
-    k_acc = jnp.zeros((n, n), jnp.int32)
-    k_acc = k_acc + jnp.diag(diag)
 
     # ---- compact multi pairs, re-rank densely
     (mseq, mrun, mcount), _ = _compact_by_flag(
@@ -183,88 +175,212 @@ def _sorted_theta_pass_core(
     m2 = jnp.sum(multi.astype(jnp.int32))
     new_mrun = diff_prev(mrun)
     mrank = jnp.cumsum(new_mrun.astype(jnp.int32)) - 1
+    return diag, mseq, mrank, mcount, m2
 
+
+def _sym_gram(c_s: jnp.ndarray, n: int, count_split: bool, tri_blocks: int):
+    """Exact int32 ``c_s @ c_s^T`` for integer-valued f32 counts.
+
+    ``tri_blocks >= 2`` computes only the upper-triangular row-block
+    pairs (bi <= bj) — the symmetric half the caller mirrors at the end —
+    saving (B-1)/(2B) of the MXU work. Entries strictly below the block
+    diagonal are left zero; entries below the diagonal *inside* a
+    diagonal block are computed (and equal their mirror)."""
+    if count_split:
+        # counts can exceed bf16-exact range: split into base-128
+        # digits, each < 128 so it fits SIGNED int8 — the int8 MXU
+        # path runs at 2x the bf16 rate on v5e and s8xs8->s32 dots
+        # are exact by construction. Digit bound: hi = c >> 7 <=
+        # p_max/128 <= 127 under the engine's p_max < 16384 guard
+        # (sorted_engine.py).
+        # No int32 overflow: each reassembled term is bounded by the
+        # true per-pass entry K[i,j] <= p_i*p_j <= p_max^2 < 2^31.
+        c_int = c_s.astype(jnp.int32)
+        ops = [
+            ((c_int >> 7).astype(jnp.int8), (c_int & 127).astype(jnp.int8))
+        ]
+    else:
+        ops = [(c_s.astype(jnp.bfloat16),)]
+
+    def gram(a_ops, b_ops):
+        if count_split:
+            hi_a, lo_a = a_ops
+            hi_b, lo_b = b_ops
+            pt = jnp.int32
+            hh = jnp.matmul(hi_a, hi_b.T, preferred_element_type=pt)
+            hl = jnp.matmul(hi_a, lo_b.T, preferred_element_type=pt)
+            ll = jnp.matmul(lo_a, lo_b.T, preferred_element_type=pt)
+            if a_ops is b_ops:
+                # lo@hi^T == (hi@lo^T)^T for identical operands:
+                # three matmuls, not four
+                return hh * 16384 + (hl + hl.T) * 128 + ll
+            lh = jnp.matmul(lo_a, hi_b.T, preferred_element_type=pt)
+            return hh * 16384 + (hl + lh) * 128 + ll
+        (cb_a,) = a_ops
+        (cb_b,) = b_ops
+        return jnp.matmul(
+            cb_a, cb_b.T, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+
+    if tri_blocks < 2 or n < 2 * tri_blocks:
+        return gram(ops[0], ops[0])
+
+    nb = -(-n // tri_blocks)
+    row_ops = [
+        tuple(o[bi * nb : (bi + 1) * nb] for o in ops[0])
+        for bi in range(tri_blocks)
+    ]
+    ks = jnp.zeros((n, n), jnp.int32)
+    for bi in range(tri_blocks):
+        if not row_ops[bi][0].shape[0]:
+            continue
+        for bj in range(bi, tri_blocks):
+            if not row_ops[bj][0].shape[0]:
+                continue
+            blk = gram(
+                row_ops[bi],
+                row_ops[bi] if bj == bi else row_ops[bj],
+            )
+            ks = jax.lax.dynamic_update_slice(ks, blk, (bi * nb, bj * nb))
+    return ks
+
+
+def _slab_contrib(
+    s: jnp.ndarray,  # slab index (scalar int32)
+    mseq: jnp.ndarray,
+    mrank: jnp.ndarray,
+    mcount: jnp.ndarray,
+    m2: jnp.ndarray,
+    *,
+    n: int,
+    slab: int,
+    count_split: bool,
+    tri_blocks: int = 0,
+) -> jnp.ndarray:
+    """[n, n] int32 contribution of slab ``s`` (zero when ``s`` is past
+    this pass's own slab count — live/straddle masks are all false), so a
+    batch of passes can run to the batch-wide max slab count."""
+    nfeat = mseq.shape[0]
+    idx_all = jnp.arange(slab, dtype=jnp.int32)
+    n_win = ((n + 127) // 128) * 128  # boundary gather window, >= max run pairs
+
+    s0 = s * slab
+    idx = s0 + idx_all
+    live = idx < m2
+    seqs = jnp.take(mseq, idx, mode="clip")
+    ranks = jnp.take(mrank, idx, mode="clip")
+    cnts = jnp.where(live, jnp.take(mcount, idx, mode="clip"), 0)
+    base_rank = jnp.take(mrank, s0, mode="clip")
+    lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
+
+    c_s = jnp.zeros((n, slab), jnp.float32)
+    c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
+    ks = _sym_gram(c_s, n, count_split, tri_blocks)
+
+    # cross-slab correction: the run containing pair s0 may straddle
+    # the boundary; its (<= n) pairs live within +-n_win of s0
+    straddle = (s > 0) & (
+        jnp.take(mrank, s0, mode="clip")
+        == jnp.take(mrank, jnp.maximum(s0 - 1, 0), mode="clip")
+    ) & (s0 < m2)
+    widx = jnp.arange(2 * n_win, dtype=jnp.int32) + s0 - n_win
+    wlive = (widx >= 0) & (widx < m2)
+    wrank = jnp.take(mrank, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    wseq = jnp.take(mseq, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    wcnt = jnp.take(mcount, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    # A = the run's full prefix (earlier slabs); B = its part in THIS
+    # slab only — summing A_b * B_b over boundaries yields each
+    # cross-slab product exactly once even for runs spanning 3+ slabs
+    in_run = wlive & (wrank == base_rank) & straddle
+    a_mask = in_run & (widx < s0)
+    b_mask = in_run & (widx >= s0) & (widx < s0 + slab)
+    a_vec = jnp.zeros((n,), jnp.int32).at[wseq].add(
+        jnp.where(a_mask, wcnt, 0)
+    )
+    b_vec = jnp.zeros((n,), jnp.int32).at[wseq].add(
+        jnp.where(b_mask, wcnt, 0)
+    )
+    # int32 outer product: a*b <= p_i*p_j <= p_max^2 < 2^31 exactly
+    # (an f32 product would round above 2^24, capping p_max at 4096)
+    cross = a_vec[:, None] * b_vec[None, :]
+    return ks + cross + cross.T
+
+
+def _sorted_theta_pass_core(
+    windows: jnp.ndarray,
+    valid: jnp.ndarray,
+    seq_of: jnp.ndarray,
+    theta: jnp.ndarray,  # [k] int32
+    *,
+    g: int,
+    base: int,
+    code_min: int,
+    n: int,
+    p: int,
+    slab: int,
+    dpw: int,
+    n_words: int,
+    count_split: bool,
+    static_slabs: bool = False,
+    tri_blocks: int = 0,
+) -> jnp.ndarray:
+    """One exact counting pass K_theta [n, n] int32 over subset ``theta``.
+
+    ``static_slabs`` replaces the data-dependent slab count with the static
+    upper bound (every window a multi-run pair); extra iterations past the
+    true count contribute exactly zero. ``tri_blocks >= 2`` returns only
+    the upper block triangle (see ``_sym_gram``) — the caller mirrors."""
+    nfeat = windows.shape[0]
+    diag, mseq, mrank, mcount, m2 = _pass_phase1(
+        windows, valid, seq_of, theta,
+        base=base, code_min=code_min, n=n, dpw=dpw, n_words=n_words,
+    )
     if static_slabs:
         n_slabs = (nfeat + slab - 1) // slab
     else:
         n_slabs = jnp.maximum((m2 + slab - 1) // slab, 0)
-    idx_all = jnp.arange(slab, dtype=jnp.int32)
-    n_win = ((n + 127) // 128) * 128  # boundary gather window, >= max run pairs
 
     def slab_body(s, k_acc):
-        s0 = s * slab
-        idx = s0 + idx_all
-        live = idx < m2
-        seqs = jnp.take(mseq, idx, mode="clip")
-        ranks = jnp.take(mrank, idx, mode="clip")
-        cnts = jnp.where(live, jnp.take(mcount, idx, mode="clip"), 0)
-        base_rank = jnp.take(mrank, s0, mode="clip")
-        lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
-
-        c_s = jnp.zeros((n, slab), jnp.float32)
-        c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
-        if count_split:
-            # counts can exceed bf16-exact range: split into base-128
-            # digits, each < 128 so it fits SIGNED int8 — the int8 MXU
-            # path runs at 2x the bf16 rate on v5e and s8xs8->s32 dots
-            # are exact by construction. Digit bound: hi = c >> 7 <=
-            # p_max/128 < 32 under the engine's p_max < 4096 guard
-            # (sorted_engine.py:83).
-            # No int32 overflow: each reassembled term is bounded by the
-            # true per-pass entry K[i,j] <= p_i*p_j <= p_max^2 < 2^31.
-            c_i = c_s.astype(jnp.int32)
-            hi8 = (c_i >> 7).astype(jnp.int8)
-            lo8 = (c_i & 127).astype(jnp.int8)
-            hh = jnp.matmul(hi8, hi8.T, preferred_element_type=jnp.int32)
-            hl = jnp.matmul(hi8, lo8.T, preferred_element_type=jnp.int32)
-            lh = jnp.matmul(lo8, hi8.T, preferred_element_type=jnp.int32)
-            ll = jnp.matmul(lo8, lo8.T, preferred_element_type=jnp.int32)
-            ks = hh * 16384 + (hl + lh) * 128 + ll
-        else:
-            cb = c_s.astype(jnp.bfloat16)
-            ks = jnp.matmul(
-                cb, cb.T, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)
-        k_acc = k_acc + ks
-
-        # cross-slab correction: the run containing pair s0 may straddle
-        # the boundary; its (<= n) pairs live within +-n_win of s0
-        straddle = (s > 0) & (
-            jnp.take(mrank, s0, mode="clip")
-            == jnp.take(mrank, jnp.maximum(s0 - 1, 0), mode="clip")
-        ) & (s0 < m2)
-        widx = jnp.arange(2 * n_win, dtype=jnp.int32) + s0 - n_win
-        wlive = (widx >= 0) & (widx < m2)
-        wrank = jnp.take(mrank, jnp.clip(widx, 0, nfeat - 1), mode="clip")
-        wseq = jnp.take(mseq, jnp.clip(widx, 0, nfeat - 1), mode="clip")
-        wcnt = jnp.take(mcount, jnp.clip(widx, 0, nfeat - 1), mode="clip")
-        # A = the run's full prefix (earlier slabs); B = its part in THIS
-        # slab only — summing A_b * B_b over boundaries yields each
-        # cross-slab product exactly once even for runs spanning 3+ slabs
-        in_run = wlive & (wrank == base_rank) & straddle
-        a_mask = in_run & (widx < s0)
-        b_mask = in_run & (widx >= s0) & (widx < s0 + slab)
-        a_vec = jnp.zeros((n,), jnp.float32).at[wseq].add(
-            jnp.where(a_mask, wcnt, 0).astype(jnp.float32)
+        return k_acc + _slab_contrib(
+            s, mseq, mrank, mcount, m2,
+            n=n, slab=slab, count_split=count_split,
+            tri_blocks=tri_blocks,
         )
-        b_vec = jnp.zeros((n,), jnp.float32).at[wseq].add(
-            jnp.where(b_mask, wcnt, 0).astype(jnp.float32)
-        )
-        cross = a_vec[:, None] * b_vec[None, :]
-        k_acc = k_acc + (cross + cross.T).astype(jnp.int32)
-        return k_acc
 
-    return jax.lax.fori_loop(0, n_slabs, slab_body, k_acc)
+    return jax.lax.fori_loop(0, n_slabs, slab_body, jnp.diag(diag))
 
 
 _STATIC_NAMES = (
     "g", "base", "code_min", "n", "p", "slab", "dpw", "n_words",
-    "count_split", "static_slabs",
+    "count_split", "static_slabs", "tri_blocks",
 )
 
 sorted_theta_pass = functools.partial(
     jax.jit, static_argnames=_STATIC_NAMES
 )(_sorted_theta_pass_core)
+
+
+def _batch_phases(windows, valid, seq_of, thetas, static):
+    """vmapped phase-1 + the shared slab trip count for a theta batch.
+
+    The slab loop's trip count is the batch-wide max of the per-pass pair
+    counts — dynamic (a `while` in XLA), so a batch does max(m2)/slab
+    iterations instead of the static worst case nfeat/slab (10x+ fewer on
+    real text: most windows fall in singleton runs)."""
+    p1 = {
+        k: static[k] for k in ("base", "code_min", "n", "dpw", "n_words")
+    }
+    diag, mseq, mrank, mcount, m2 = jax.vmap(
+        lambda th: _pass_phase1(windows, valid, seq_of, th, **p1)
+    )(thetas)
+    slab = static["slab"]
+    n_slabs = jnp.maximum((jnp.max(m2) + slab - 1) // slab, 0)
+    lane = functools.partial(
+        _slab_contrib,
+        n=static["n"], slab=slab, count_split=static["count_split"],
+        tri_blocks=static.get("tri_blocks", 0),
+    )
+    return diag, (mseq, mrank, mcount, m2), n_slabs, lane
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
@@ -276,16 +392,21 @@ def sorted_theta_pass_batch(
     **static,
 ) -> jnp.ndarray:
     """T passes in one call: the multi-word sorts batch along the theta
-    axis (one wide device sort instead of T serial ones — the per-pass
-    bottleneck on sort-bound data) and the slab count-matmuls run batched
-    on the MXU. Returns [T, n, n] int32, each slice bit-identical to
-    ``sorted_theta_pass`` on that theta."""
-    static["static_slabs"] = True
-    return jax.vmap(
-        lambda th: _sorted_theta_pass_core(
-            windows, valid, seq_of, th, **static
-        )
-    )(thetas)
+    axis (one wide device sort instead of T serial ones) and the slab
+    count-matmuls run batched on the MXU. Returns [T, n, n] int32, each
+    slice bit-identical to ``sorted_theta_pass`` on that theta."""
+    static.pop("static_slabs", None)
+    diag, lanes, n_slabs, lane = _batch_phases(
+        windows, valid, seq_of, thetas, static
+    )
+
+    def body(s, acc):
+        return acc + jax.vmap(
+            lambda ms, mr, mc, mm: lane(s, ms, mr, mc, mm)
+        )(*lanes)
+
+    init = jax.vmap(jnp.diag)(diag)
+    return jax.lax.fori_loop(0, n_slabs, body, init)
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
@@ -298,15 +419,20 @@ def sorted_theta_pass_batch_sum(
     **static,
 ) -> jnp.ndarray:
     """``acc + sum_T pass(theta_t)`` fused in one dispatch: the
-    skip-variance/exact stream never needs the per-theta slices, so the
-    [T, n, n] HBM round-trip of ``sorted_theta_pass_batch`` (T * 4n^2
-    bytes written then re-read for the sum) is skipped — only the [n, n]
-    accumulator lands. Bit-identical to summing the batch slices (int32
-    adds commute; overflow is excluded by the caller's spill bound)."""
-    static["static_slabs"] = True
-    ks = jax.vmap(
-        lambda th: _sorted_theta_pass_core(
-            windows, valid, seq_of, th, **static
+    skip-variance/exact stream never needs the per-theta slices, so only
+    the [n, n] accumulator lands in HBM. Bit-identical to summing the
+    batch slices (int32 adds commute; overflow is excluded by the
+    caller's spill bound)."""
+    static.pop("static_slabs", None)
+    diag, lanes, n_slabs, lane = _batch_phases(
+        windows, valid, seq_of, thetas, static
+    )
+
+    def body(s, k_acc):
+        ks = jax.vmap(lambda ms, mr, mc, mm: lane(s, ms, mr, mc, mm))(
+            *lanes
         )
-    )(thetas)
-    return acc + jnp.sum(ks, axis=0)
+        return k_acc + jnp.sum(ks, axis=0)
+
+    init = acc + jnp.sum(jax.vmap(jnp.diag)(diag), axis=0)
+    return jax.lax.fori_loop(0, n_slabs, body, init)

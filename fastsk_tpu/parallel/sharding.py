@@ -377,7 +377,7 @@ def pairs_round_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "g", "base", "code_min", "n", "p", "slab", "dpw",
-        "n_words", "count_split",
+        "n_words", "count_split", "static_slabs", "tri_blocks",
     ),
 )
 def sorted_batch_sharded(

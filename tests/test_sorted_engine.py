@@ -71,6 +71,79 @@ def test_sorted_batch_sum_bitexact(rng):
     np.testing.assert_array_equal(fused, ref)
 
 
+def test_sorted_long_documents(rng):
+    """p_max > 4096 (the round-1 ceiling): repetitive long documents push
+    run counts past 4096, so cross-slab corrections produce products above 2^24
+    that only the int32 path keeps exact, and the int8 hi digit exceeds
+    the old base-256 range."""
+    L = 4400
+    X = [
+        [1] * L,
+        [1] * (L - 8),
+        list(rng.integers(1, 3, L - 16)),
+    ]
+    g, m = 4, 1
+    eng = SortedGkmEngine(
+        encode_sequences(X), g, m, KernelConfig(sorted_slab=512)
+    )
+    assert eng.p_max > 4096
+    K_oracle = oracle.exact_counts(X, g, m)
+    assert K_oracle.max() > (1 << 24)  # f32 products would round here
+    np.testing.assert_array_equal(K_oracle, eng.exact())
+
+
+def test_sorted_adaptive_spill_forced(rng):
+    """Shrinking the accumulator limit forces the adaptive max-check
+    spill path; results must be bit-identical to the unspilled run."""
+    X = random_ragged_seqs(rng, 6, 40, 60, alphabet=4)
+    g, m = 6, 2
+    ref_eng = SortedGkmEngine(encode_sequences(X), g, m, KernelConfig())
+    K_ref = ref_eng.exact()
+
+    eng = SortedGkmEngine(encode_sequences(X), g, m, KernelConfig())
+    eng._adaptive_spill = True
+    eng._acc_limit = eng._per_theta_bound * (eng.theta_batch + 1)
+    np.testing.assert_array_equal(K_ref, eng.exact())
+
+    # Welford (variance-tracked) stream with spills: counts + iteration
+    # trajectory unchanged
+    ref2 = ref_eng.approx(max_iters=9, seed=3)
+    res = eng.approx(max_iters=9, seed=3)
+    assert res.iters == ref2.iters
+    np.testing.assert_array_equal(res.counts, ref2.counts)
+
+
+def test_sorted_tri_blocked_gram(rng):
+    """Upper-block-triangle count-matmuls (the exact/skip-variance MXU
+    saving) must reproduce the oracle exactly after the engine's mirror,
+    on both the bf16 and the int8 digit-split paths."""
+    for alphabet, reps in ((20, 1), (2, 40)):
+        X = random_ragged_seqs(rng, 9, 8, 20, alphabet=alphabet)
+        if reps > 1:  # repeat content so counts exceed 255 (count_split)
+            X = [list(x) * reps for x in X]
+        g, m = 5, 2
+        eng = SortedGkmEngine(
+            encode_sequences(X), g, m, KernelConfig(sorted_slab=64)
+        )
+        eng._tri_blocks = 3
+        K_oracle = oracle.exact_counts(X, g, m)
+        np.testing.assert_array_equal(K_oracle, eng.exact())
+
+        res = eng.approx(skip_variance=True, max_iters=4, seed=1)
+        thetas = _stream(eng, seed=1)[:4]
+        np.testing.assert_array_equal(
+            res.counts, oracle.counts_for_thetas(X, g, thetas)
+        )
+
+
+def _stream(eng, seed):
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+
+    rng2 = np.random.default_rng(seed)
+    all_t = enumerate_combinations(eng.g, eng.k)
+    return all_t[rng2.permutation(len(all_t))]
+
+
 def test_sorted_multiword_hash(rng):
     """k * log2(base) > 31 forces multi-word lexicographic keys."""
     X = random_ragged_seqs(rng, 8, 16, 24, alphabet=30)

@@ -190,6 +190,68 @@ def plot_stdev_ci(path, out):
     fig.savefig(out, dpi=150)
 
 
+# validated categorical slots 1-3 (fixed order, never cycled)
+_CAT = ("#2a78d6", "#eb6834", "#1baf7a")
+
+
+def plot_multiclass(path, out):
+    """Grouped accuracy bars per corpus: kernel OvO vs linear OvR vs the
+    sklearn (LIBSVM) precomputed-kernel oracle."""
+    rows = _read(path)
+    series = [
+        ("kernel OvO", "ovo_acc"),
+        ("linear OvR (EKM)", "linear_ovr_acc"),
+        ("sklearn SVC oracle", "sklearn_ovo_acc"),
+    ]
+    x = range(len(rows))
+    w = 0.26
+    fig, ax = plt.subplots(figsize=(1.2 + 1.6 * len(rows), 3.5))
+    for si, (label, key) in enumerate(series):
+        vals = [float(r[key]) for r in rows]
+        bars = ax.bar(
+            [i + (si - 1) * (w + 0.02) for i in x], vals, w,
+            color=_CAT[si], label=label,
+        )
+        for b, v in zip(bars, vals):
+            ax.annotate(
+                f"{v:.3f}", (b.get_x() + w / 2, v), ha="center",
+                va="bottom", fontsize=7, color="#52514e",
+            )
+    ax.set_xticks(list(x))
+    ax.set_xticklabels(
+        [f"{r['dataset']}\n({r['classes']} classes)" for r in rows],
+        fontsize=8,
+    )
+    ax.set_ylabel("test accuracy")
+    ax.set_ylim(0, 1.05)
+    ax.grid(axis="y", alpha=0.25, linewidth=0.5)
+    ax.set_axisbelow(True)
+    ax.legend(fontsize=8, frameon=False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_sorted_approx(path, out):
+    """Monte-Carlo pass throughput per sorted-engine configuration."""
+    rows = _read(path)
+    names = [f"{r['config']}\n(batch {r['theta_batch']})" for r in rows]
+    v = [float(r["passes_per_s"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(1.5 + 1.2 * len(rows), 3.5))
+    bars = ax.bar(range(len(rows)), v, 0.6, color=_CAT[0])
+    for b, vi in zip(bars, v):
+        ax.annotate(
+            f"{vi:.2f}", (b.get_x() + 0.3, vi), ha="center",
+            va="bottom", fontsize=8, color="#52514e",
+        )
+    ax.set_xticks(range(len(rows)))
+    ax.set_xticklabels(names, fontsize=8)
+    ax.set_ylabel("counting passes / s (steady)")
+    ax.grid(axis="y", alpha=0.25, linewidth=0.5)
+    ax.set_axisbelow(True)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 PLOTTERS = {
     "g_time": plot_g_time,
     "m_time": plot_m_time,
@@ -200,6 +262,8 @@ PLOTTERS = {
     "chips": plot_chips,
     "speedup": plot_speedup,
     "stdev_ci": plot_stdev_ci,
+    "multiclass": plot_multiclass,
+    "sorted_approx": plot_sorted_approx,
 }
 
 

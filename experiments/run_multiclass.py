@@ -44,7 +44,7 @@ def main() -> None:
     ap.add_argument(
         "--out",
         default=os.path.join(
-            os.path.dirname(__file__), "results_multiclass", "multiclass.csv"
+            os.path.dirname(__file__), "results_multiclass", "nlp_multiclass.csv"
         ),
     )
     args = ap.parse_args()

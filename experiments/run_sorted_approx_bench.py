@@ -2,16 +2,15 @@
 
 Measures the Monte-Carlo (skip_variance) stream of SortedGkmEngine on the
 real AImed corpus (protein-text, g=11 m=4 per experiments/datasets.csv)
-under two configurations:
+across theta_batch configurations (tb=1 streams one multi-word
+lax.sort + slab count-matmuls per sampled theta; tb>1 runs a vmapped
+batch per dispatch with a fused batch sum). Measured on TPU v5e the
+pass is MXU-bound on the slab matmuls, so tb=1 wins single-device and
+is the engine default; round 1 (pre int8-digit matmuls, pre
+triangle-blocked grams) measured 0.8 s/pass on this workload.
 
-  * ``theta_batch=1`` — the round-1 behavior: one multi-word lax.sort +
-    slab count-matmuls per sampled theta.
-  * default batching — round-2: a vmapped batch of passes per dispatch
-    (one wide sort, fused batch-sum accumulation, int8 digit matmuls
-    when counts exceed 255).
-
-Both must produce bit-identical integer counts (same seed => same
-shuffled theta stream; int32 adds commute). Timing convention matches
+All configs must produce bit-identical integer counts (same seed =>
+same shuffled theta stream; int32 adds commute). Timing convention matches
 bench.py: the first call includes compilation, the second is steady
 state; steady wall is what the pass/s rate is computed from.
 
@@ -78,12 +77,8 @@ def main() -> None:
         flush=True,
     )
 
-    ap_sweep = getattr(args, "sweep", None)
-    configs = [("per_pass_r1", 1), ("batched_r2", None)]
-    if ap_sweep:
-        configs = [
-            (f"tb{v}", int(v)) for v in ap_sweep.split(",")
-        ]
+    sweep = args.sweep or "1,4,8"
+    configs = [(f"tb{v}", int(v)) for v in sweep.split(",")]
     rows = []
     counts = {}
     for label, tb in configs:

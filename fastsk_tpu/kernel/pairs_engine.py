@@ -508,11 +508,7 @@ class PackedPairsEngine:
                             backend="xla",
                             interpret=False,
                         )
-                k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
-                for dig in range(self.n_digits):
-                    k_sorted += (self.digit_base**dig) * np.asarray(
-                        planes[dig], dtype=np.int64
-                    )[: self.n, : self.n]
+                k_sorted = self._planes_to_host(planes)
         # undo the length sort
         pos = np.empty(self.n, dtype=np.int64)
         pos[self.order] = np.arange(self.n)
@@ -569,12 +565,60 @@ class PackedPairsEngine:
                 n_digits=self.n_digits, digit_base=self.digit_base,
                 interpret=self.interpret,
             )
-        k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
-        for dig in range(self.n_digits):
-            k_sorted += (self.digit_base**dig) * np.asarray(
-                planes[dig], dtype=np.int64
-            )[: self.n, : self.n]
-        return k_sorted
+        return self._planes_to_host(planes)
+
+    def _planes_to_host(self, planes) -> np.ndarray:
+        """Digit planes -> int64 [n, n] counts, transfer-optimized.
+
+        The full per-plane pull costs more than the kernel on remote-
+        tunnel hosts (measured: ~39 MB at ~12 MB/s = 3.2 s of protein
+        1.1's 4.1 s wall). When the runtime per-plane maxes bound the
+        combined entry below 2^31 (always, on real data), the planes
+        collapse to one int32 matrix on device, only its upper-triangle
+        512-tiles transfer (the planes are symmetric by construction),
+        and each count bitcasts to 3 bytes when the bound also fits 24
+        bits — a ~5x smaller pull. Worst-case data falls back to exact
+        per-plane int64 combination on the host."""
+        from ..ops import pairs_packed
+
+        n_pad = int(planes[0].shape[0])
+        maxes = np.asarray(pairs_packed.plane_maxes(tuple(planes)))
+        bound = sum(
+            int(m) * self.digit_base**d for d, m in enumerate(maxes)
+        )
+        if bound >= 2**31:
+            k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+            for dig in range(self.n_digits):
+                k_sorted += (self.digit_base**dig) * np.asarray(
+                    planes[dig], dtype=np.int64
+                )[: self.n, : self.n]
+            return k_sorted
+
+        ts = 512
+        k32 = pairs_packed.combine_planes_int32(
+            tuple(planes), digit_base=self.digit_base
+        )
+        tiles = pairs_packed.upper_tiles(k32, tile=ts)
+        if bound < (1 << 24):
+            # little-endian: bytes 0..2 carry the value, byte 3 is 0
+            b3 = jax.lax.bitcast_convert_type(tiles, jnp.int8)[..., :3]
+            raw = np.asarray(b3)
+            buf = np.zeros(raw.shape[:-1] + (4,), dtype=np.int8)
+            buf[..., :3] = raw
+            tiles_h = buf.view(np.int32)[..., 0]
+        else:
+            tiles_h = np.asarray(tiles)
+        npt = -(-n_pad // ts)
+        k_full = np.zeros((npt * ts, npt * ts), dtype=np.int64)
+        ti = 0
+        for i in range(npt):
+            for j in range(i, npt):
+                k_full[i * ts : (i + 1) * ts, j * ts : (j + 1) * ts] = (
+                    tiles_h[ti]
+                )
+                ti += 1
+        k_full = np.triu(k_full) + np.triu(k_full, 1).T
+        return k_full[: self.n, : self.n]
 
     def _exact_sharded_planes(self, x, n_pad: int) -> np.ndarray:
         """Mesh-parallel strips, round-robin: each device accumulates its

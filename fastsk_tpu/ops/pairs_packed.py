@@ -442,3 +442,59 @@ def packed_pairlist_sweep(
             )
         )
     return tuple(out)
+
+
+# ----------------------------------------------------------------- transfer
+# Device->host is the measured bottleneck of the packed path on remote-
+# tunnel setups (a full [n_pad, n_pad] int32 digit-plane pull costs more
+# than the kernel itself on protein 1.1). These helpers shrink the pull
+# the way the seq-aligned engine's banded streaming does
+# (kernel/pairs_engine.py:_exact_pallas): combine the digit planes into
+# one int32 matrix on device (runtime-bounded), gather only the
+# upper-triangle tiles of the symmetric result, and let the caller
+# bitcast each count to 3 bytes when everything fits 24 bits.
+
+
+@jax.jit
+def plane_maxes(planes: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """[n_digits] int32 — per-plane max entry (planes are non-negative)."""
+    return jnp.stack([jnp.max(p) for p in planes])
+
+
+@functools.partial(jax.jit, static_argnames=("digit_base",))
+def combine_planes_int32(
+    planes: Tuple[jnp.ndarray, ...], *, digit_base: int
+) -> jnp.ndarray:
+    """``sum_d base^d * plane_d`` in int32.
+
+    Caller must have verified ``sum_d base^d * max_d < 2^31`` (the digit
+    decomposition exists precisely because a per-pair kernel entry can
+    exceed int32 in the worst case; on real data it never does, and the
+    caller falls back to per-plane int64 host combination when the
+    runtime bound says otherwise)."""
+    acc = planes[0]
+    for d in range(1, len(planes)):
+        acc = acc + (digit_base**d) * planes[d]
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def upper_tiles(k32: jnp.ndarray, *, tile: int) -> jnp.ndarray:
+    """``[M, tile, tile]`` gather of the upper-triangle tile list of a
+    symmetric [n_pad, n_pad] matrix (zero-padded up to a tile multiple).
+
+    M = nt*(nt+1)/2 with nt = ceil(n_pad / tile); the strictly-lower
+    tiles — almost half the matrix — are never materialized on the host
+    path, and the tile list is a single gather (one compile per shape,
+    no per-band programs)."""
+    n_pad = k32.shape[0]
+    npt = -(-n_pad // tile)
+    full = npt * tile
+    if full > n_pad:
+        k32 = jnp.pad(k32, ((0, full - n_pad), (0, full - n_pad)))
+    t = k32.reshape(npt, tile, npt, tile).transpose(0, 2, 1, 3)
+    idx = jnp.asarray(
+        [i * npt + j for i in range(npt) for j in range(npt) if j >= i],
+        dtype=jnp.int32,
+    )
+    return jnp.take(t.reshape(npt * npt, tile, tile), idx, axis=0)

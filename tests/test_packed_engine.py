@@ -151,3 +151,41 @@ def test_packed_pairlist_multi_slab(rng, small_tile, monkeypatch):
         PPE, "SLAB_BYTES", 2 * eng.n_digits * eng.c_pad**2 * 4
     )
     np.testing.assert_array_equal(K_o, eng.exact())
+
+
+def test_planes_to_host_tiles_and_fallback(rng):
+    """The tiled upper-triangle transfer path must reproduce the plain
+    per-plane combination, including across 512-tile boundaries and on
+    the int64 host fallback when the runtime bound exceeds int32."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.ops import pairs_packed as pk
+
+    n_pad = 700  # crosses one 512-tile boundary
+    base = 16
+    a = rng.integers(0, 9, (n_pad, n_pad)).astype(np.int64)
+    b = rng.integers(0, 9, (n_pad, n_pad)).astype(np.int64)
+    a, b = a + a.T, b + b.T  # symmetric like real digit planes
+    planes = (jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+
+    class Shim:
+        n = 641
+        n_digits = 2
+        digit_base = base
+    shim = Shim()
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+
+    out = PackedPairsEngine._planes_to_host(shim, planes)
+    ref = (a + base * b)[: shim.n, : shim.n]
+    np.testing.assert_array_equal(out, ref)
+
+    # force the > int32 bound branch with per-plane spikes
+    a2, b2 = a.copy(), b.copy()
+    a2[0, 1] = a2[1, 0] = 1 << 30
+    b2[2, 3] = b2[3, 2] = 1 << 27
+    maxes_bound = (1 << 30) + base * (1 << 27)
+    assert maxes_bound >= 2**31  # the fallback branch is the one under test
+    planes2 = (jnp.asarray(a2, jnp.int32), jnp.asarray(b2, jnp.int32))
+    out2 = PackedPairsEngine._planes_to_host(shim, planes2)
+    ref2 = (a2 + base * b2)[: shim.n, : shim.n]
+    np.testing.assert_array_equal(out2, ref2)

@@ -512,7 +512,7 @@ class PackedPairsEngine:
         # undo the length sort
         pos = np.empty(self.n, dtype=np.int64)
         pos[self.order] = np.arange(self.n)
-        return k_sorted[np.ix_(pos, pos)]
+        return k_sorted[np.ix_(pos, pos)].astype(np.int64, copy=False)
 
     def _exact_pairlist(self, x, n_pad: int) -> np.ndarray:
         """Pair-list Pallas sweep: the upper-triangle strip pairs are
@@ -599,17 +599,21 @@ class PackedPairsEngine:
             tuple(planes), digit_base=self.digit_base
         )
         tiles = pairs_packed.upper_tiles(k32, tile=ts)
-        if bound < (1 << 24):
-            # little-endian: bytes 0..2 carry the value, byte 3 is 0
-            b3 = jax.lax.bitcast_convert_type(tiles, jnp.int8)[..., :3]
-            raw = np.asarray(b3)
+        # little-endian: the low bytes carry the value (bound < 2^31 so
+        # at most 4); 1.1-class counts fit 2 bytes — half the transfer
+        nbytes = max(1, (int(bound).bit_length() + 7) // 8)
+        if nbytes < 4:
+            bs = jax.lax.bitcast_convert_type(tiles, jnp.int8)[..., :nbytes]
+            raw = np.asarray(bs)
             buf = np.zeros(raw.shape[:-1] + (4,), dtype=np.int8)
-            buf[..., :3] = raw
+            buf[..., :nbytes] = raw
             tiles_h = buf.view(np.int32)[..., 0]
         else:
             tiles_h = np.asarray(tiles)
         npt = -(-n_pad // ts)
-        k_full = np.zeros((npt * ts, npt * ts), dtype=np.int64)
+        # int32 assembly (entries < 2^31 by the bound; the mirror never
+        # adds two non-zeros) — half the host memory traffic of int64
+        k_full = np.zeros((npt * ts, npt * ts), dtype=np.int32)
         ti = 0
         for i in range(npt):
             for j in range(i, npt):

@@ -207,6 +207,26 @@ def test_sorted_batch_pass_bitexact_vs_single(rng):
         np.testing.assert_array_equal(np.asarray(eng._pass(th)), np.asarray(batch[j]))
 
 
+def test_sorted_sharded_adaptive_spill(rng):
+    """Forced adaptive spills on the mesh path (global-max check +
+    host_gather mid-stream) must stay bit-identical."""
+    import jax
+
+    from fastsk_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X = random_ragged_seqs(rng, 7, 20, 40, alphabet=6)
+    enc = encode_sequences(X)
+    ref = SortedGkmEngine(enc, 7, 3, KernelConfig(sorted_slab=128)).exact()
+    eng = SortedGkmEngine(
+        enc, 7, 3, KernelConfig(sorted_slab=128, mesh=make_mesh(2, 4))
+    )
+    eng._adaptive_spill = True
+    eng._acc_limit = eng._per_theta_bound * (eng.theta_batch + 2)
+    np.testing.assert_array_equal(ref, eng.exact())
+
+
 def test_sorted_sharded_matches_single_device(rng):
     import jax
 

@@ -81,7 +81,7 @@ def main() -> int:
             print(f"  ref {per_pass:.3f} s/pass -> {ref_total:.1f} s; ours...",
                   flush=True)
             first, steady, killed = time_fastsk(
-                g=g, m=m, prefix=name, detail=True
+                g=g, m=m, prefix=name, detail=True, steady_runs=3
             )
             row = dict(
                 dataset=name, g=g, m=m, passes=n_pass,

@@ -40,11 +40,6 @@ _onehot_windows_jit = jax.jit(
 )
 
 
-@jax.jit
-def _blocks_max(blocks):
-    return jnp.max(jnp.stack([jnp.max(b) for b in blocks]))
-
-
 class PairsGkmEngine:
     """Exact-mode engine over the all-pairs binomial identity."""
 
@@ -169,71 +164,88 @@ class PairsGkmEngine:
             ctx_p.__exit__(None, None, None)
         return out
 
+    # streaming threshold: matrices under this skip the byte-plane tile
+    # machinery (transfer isn't their bottleneck; fewer compilations) —
+    # an attribute so tests can force the streaming path on tiny inputs
+    _small_bytes = 64 * 2**20
+
     def _exact_pallas(self, x, interpret: bool = False) -> np.ndarray:
-        """Banded execution + packed streaming, returning the FULL
+        """Banded execution + byte-plane streaming, returning the FULL
         symmetric matrix.
 
-        ~12 row-band kernel launches dispatch asynchronously; each band's
-        upper-triangle block slice streams to the host while later bands
-        compute. The device->host link is the end-to-end bottleneck
-        (~12 MB/s through the remote tunnel), so dead lower-triangle
-        blocks are never transferred, and when every count fits 24 bits
-        (checked against the device max) each int32 is bitcast-sliced to
-        3 bytes on device — 25% fewer bytes, decoded exactly on host.
-        The lower triangle is then filled by a cache-blocked transpose of
-        the upper (symmetric counts), which is ~10x faster than the
-        np.triu + transpose-add mirror on a 400 MB matrix.
+        ~12 row-band kernel launches; each band's live (upper-triangle)
+        blocks are pulled as min-offset byte planes (ops/transfer.py)
+        immediately after that band's kernel retires, overlapping the
+        pull of band i with the compute of bands i+1.. — the device->host
+        link (~12 MB/s through the remote tunnel) is the end-to-end
+        bottleneck, so dead lower-triangle blocks never transfer and most
+        live tiles cost ~1-2 bytes/count instead of 4. The lower triangle
+        is then filled by a cache-blocked transpose of the upper
+        (symmetric counts), ~10x faster than a np.triu + transpose-add
+        mirror on a 400 MB matrix.
         """
         from ..ops import pairs_pallas
+        from ..ops.transfer import StreamingTilePuller
 
         n_i = self.n_pad // self.c_i
         n_j = self.n_pad // self.c_j
-        # small matrices (< ~64 MB upper triangle) skip the streaming/
-        # packing machinery: transfer isn't the bottleneck there, and the
-        # extra programs would just multiply compilations
-        small = self.n_pad * self.n_pad * 2 <= 64 * 2**20
+        small = self.n_pad * self.n_pad * 2 <= self._small_bytes
         band = n_i if small else max(1, -(-n_i // 12))
         kwargs = dict(
             g=self.g, k=self.k, p_pad=self.p_pad,
             c_ti=self.c_i, c_tj=self.c_j, interpret=interpret,
         )
-        outs = []
-        for i0 in range(0, n_i, band):
-            nb = min(band, n_i - i0)
-            outs.append(
-                (
-                    i0,
-                    pairs_pallas.pairs_kernel_blocks(
-                        x, jnp.int32(i0), n_i_band=nb, **kwargs
-                    ),
-                )
-            )
-        if small or interpret:
-            pack24 = False
-        else:
-            # device max decides the transfer encoding (tiny scalar fetch)
-            gmax = int(np.asarray(_blocks_max([b for _, b in outs])))
-            pack24 = gmax < (1 << 24)
-
         k_full = np.zeros((self.n_pad, self.n_pad), dtype=np.int32)
-        for i0, blocks in outs:
-            nb = blocks.shape[0]
-            j0 = (i0 * self.c_i) // self.c_j  # first live j block
-            sl = blocks[:, j0:]
-            if pack24:
-                # little-endian: bytes 0..2 carry the value, byte 3 is 0
-                b3 = jax.lax.bitcast_convert_type(sl, jnp.int8)[..., :3]
-                raw = np.asarray(b3)  # [nb, nj', c_ti, c_tj, 3] int8
-                buf = np.zeros(raw.shape[:-1] + (4,), dtype=np.int8)
-                buf[..., :3] = raw
-                part = buf.view(np.int32)[..., 0]
-            else:
-                part = np.asarray(sl)
-            k_full[
-                i0 * self.c_i : (i0 + nb) * self.c_i, j0 * self.c_j :
-            ] = part.transpose(0, 2, 1, 3).reshape(
-                nb * self.c_i, (n_j - j0) * self.c_j
-            )
+        # first live j block per i block (blocks strictly below the
+        # window-space diagonal are zero and never pulled)
+        j_lo = (np.arange(n_i) * self.c_i) // self.c_j
+
+        if small:
+            for i0 in range(0, n_i, band):
+                nb = min(band, n_i - i0)
+                blocks = pairs_pallas.pairs_kernel_blocks(
+                    x, jnp.int32(i0), n_i_band=nb, **kwargs
+                )
+                j0 = int(j_lo[i0])
+                part = np.asarray(blocks[:, j0:])
+                k_full[
+                    i0 * self.c_i : (i0 + nb) * self.c_i, j0 * self.c_j :
+                ] = part.transpose(0, 2, 1, 3).reshape(
+                    nb * self.c_i, (n_j - j0) * self.c_j
+                )
+        else:
+            puller = StreamingTilePuller()
+            handles = []
+            for i0 in range(0, n_i, band):
+                nb = min(band, n_i - i0)
+                blocks = pairs_pallas.pairs_kernel_blocks(
+                    x, jnp.int32(i0), n_i_band=nb, **kwargs
+                )
+                tiles = blocks.reshape(nb * n_j, self.c_i, self.c_j)
+                live = np.concatenate(
+                    [
+                        il * n_j + np.arange(j_lo[i0 + il], n_j)
+                        for il in range(nb)
+                    ]
+                )
+                handles.append((i0, nb, puller.dispatch(tiles, live)))
+            pulled = [
+                (i0, nb, puller.pull(h)) for i0, nb, h in handles
+            ]
+            puller.finalize()
+            for i0, nb, arr in pulled:
+                pos = 0
+                for il in range(nb):
+                    i = i0 + il
+                    j0 = int(j_lo[i])
+                    cnt = n_j - j0
+                    seg = arr[pos : pos + cnt]  # [cnt, c_i, c_j]
+                    k_full[
+                        i * self.c_i : (i + 1) * self.c_i, j0 * self.c_j :
+                    ] = seg.transpose(1, 0, 2).reshape(
+                        self.c_i, cnt * self.c_j
+                    )
+                    pos += cnt
 
         # blocked symmetric fill: upper entries are complete (every upper
         # block position is live in some band); lower entries inside live
@@ -574,12 +586,14 @@ class PackedPairsEngine:
         tunnel hosts (measured: ~39 MB at ~12 MB/s = 3.2 s of protein
         1.1's 4.1 s wall). When the runtime per-plane maxes bound the
         combined entry below 2^31 (always, on real data), the planes
-        collapse to one int32 matrix on device, only its upper-triangle
-        512-tiles transfer (the planes are symmetric by construction),
-        and each count bitcasts to 3 bytes when the bound also fits 24
-        bits — a ~5x smaller pull. Worst-case data falls back to exact
-        per-plane int64 combination on the host."""
+        collapse to one int32 matrix on device, the diagonal — the
+        dominant within-tile outlier — pulls separately as a [n] vector,
+        and only the upper-triangle 128-tiles of the rest transfer as
+        min-offset byte planes (ops/transfer.py), ~1-2 bytes/count on
+        real data. Worst-case data falls back to exact per-plane int64
+        combination on the host."""
         from ..ops import pairs_packed
+        from ..ops.transfer import pull_tiles_int32
 
         n_pad = int(planes[0].shape[0])
         maxes = np.asarray(pairs_packed.plane_maxes(tuple(planes)))
@@ -594,23 +608,17 @@ class PackedPairsEngine:
                 )[: self.n, : self.n]
             return k_sorted
 
-        ts = 512
+        ts = 128
         k32 = pairs_packed.combine_planes_int32(
             tuple(planes), digit_base=self.digit_base
         )
+        diag_dev, k32 = pairs_packed.split_diagonal(k32)
         tiles = pairs_packed.upper_tiles(k32, tile=ts)
-        # little-endian: the low bytes carry the value (bound < 2^31 so
-        # at most 4); 1.1-class counts fit 2 bytes — half the transfer
-        nbytes = max(1, (int(bound).bit_length() + 7) // 8)
-        if nbytes < 4:
-            bs = jax.lax.bitcast_convert_type(tiles, jnp.int8)[..., :nbytes]
-            raw = np.asarray(bs)
-            buf = np.zeros(raw.shape[:-1] + (4,), dtype=np.int8)
-            buf[..., :nbytes] = raw
-            tiles_h = buf.view(np.int32)[..., 0]
-        else:
-            tiles_h = np.asarray(tiles)
         npt = -(-n_pad // ts)
+        tiles_h = pull_tiles_int32(
+            tiles, np.arange(npt * (npt + 1) // 2)
+        )
+        diag = np.asarray(diag_dev)
         # int32 assembly (entries < 2^31 by the bound; the mirror never
         # adds two non-zeros) — half the host memory traffic of int64
         k_full = np.zeros((npt * ts, npt * ts), dtype=np.int32)
@@ -621,7 +629,10 @@ class PackedPairsEngine:
                     tiles_h[ti]
                 )
                 ti += 1
-        k_full = np.triu(k_full) + np.triu(k_full, 1).T
+        k_full = np.triu(k_full, 1) + np.triu(k_full, 1).T
+        diag_pad = np.zeros(k_full.shape[0], dtype=np.int32)
+        diag_pad[:n_pad] = diag
+        np.fill_diagonal(k_full, diag_pad)
         return k_full[: self.n, : self.n]
 
     def _exact_sharded_planes(self, x, n_pad: int) -> np.ndarray:

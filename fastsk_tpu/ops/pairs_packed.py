@@ -478,6 +478,16 @@ def combine_planes_int32(
     return acc
 
 
+@jax.jit
+def split_diagonal(k32: jnp.ndarray):
+    """``(diag, k32 with a zeroed diagonal)`` — the diagonal dominates the
+    within-tile value range (K[i,i] >> K[i,j] off-diagonal), so pulling it
+    as a separate [n] vector lets the byte-plane tile transfer pick widths
+    from the off-diagonal range alone."""
+    i = jnp.arange(k32.shape[0])
+    return k32[i, i], k32.at[i, i].set(0)
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def upper_tiles(k32: jnp.ndarray, *, tile: int) -> jnp.ndarray:
     """``[M, tile, tile]`` gather of the upper-triangle tile list of a

@@ -1,0 +1,162 @@
+"""Byte-plane tile transfer: minimal-width device->host kernel pulls.
+
+The device->host link is the end-to-end bottleneck of the exact engines on
+remote-tunnel hosts (~12 MB/s measured; the headline EP300_47848 kernel is
+~88 MB at a uniform 3 bytes/count, more than the on-device compute). Two
+structural facts make the counts far more compressible than a global byte
+width can express:
+
+- they are heavily skewed: off-diagonal tiles of unrelated sequences carry
+  tiny values while diagonal / near-duplicate tiles carry the big ones;
+- within one tile they cluster: a [th, tw] block of sequence pairs shares
+  sequence lengths and composition, so (max - min) per tile is much
+  smaller than max.
+
+The transfer is therefore organized per TILE as an int32 min OFFSET (a
+[L]-vector, negligible) plus little-endian byte PLANES of the offset
+residual:
+
+    value = min_t + b0 + 256*b1 + 65536*b2 + 16777216*b3
+
+- plane 0 is pulled for every live tile (1 byte/entry),
+- plane p >= 1 is pulled only for tiles whose (max - min) reaches 256^p,
+  gathered with a geometrically-bucketed index list so the jitted gather
+  compiles for O(log n_tiles) shapes, not per run.
+
+Adding a plane is exact even for tiles that don't need it (their residual
+bytes are zero), which lets the streaming variant pull a whole
+already-computed plane as pure DMA instead of a queued gather. The byte
+planes are plain gathers + bitcasts — pure XLA (no Pallas), testable on
+CPU, bit-identical to pulling the int32s whole. Counts are >= 0 < 2^31 so
+plane 3 of the residual never carries a sign bit.
+
+Used by kernel/pairs_engine.py for both the banded seq-aligned path and
+the packed ragged path (the counts are the countAndUpdateTri
+accumulations of the reference's shared.cpp:268-333, bit-identical).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _tile_minmax(tiles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[2, L] int32 — per-selected-tile (min, max)."""
+    sel = tiles[idx]
+    return jnp.stack(
+        [jnp.min(sel, axis=(1, 2)), jnp.max(sel, axis=(1, 2))]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plane",))
+def _byte_plane(
+    tiles: jnp.ndarray,  # [M, th, tw] int32
+    idx: jnp.ndarray,  # [L] int32
+    mins: jnp.ndarray,  # [L] int32 — per-selected-tile offset
+    *,
+    plane: int,
+):
+    """[L, th, tw] int8 — little-endian byte ``plane`` of the offset
+    residuals ``tiles[idx] - mins``."""
+    resid = tiles[idx] - mins[:, None, None]
+    return jax.lax.bitcast_convert_type(resid, jnp.int8)[..., plane]
+
+
+def _bucket(n: int) -> int:
+    """Geometric padding bucket: bounds the number of compiled gather
+    shapes per tile-list size to O(log)."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_idx(idx: np.ndarray, b: int) -> np.ndarray:
+    return np.concatenate([idx, np.full(b - idx.size, idx[0])]).astype(
+        np.int32
+    )
+
+
+def _decode(raw: np.ndarray, shift: int) -> np.ndarray:
+    return raw.view(np.uint8).astype(np.int32) << shift
+
+
+class StreamingTilePuller:
+    """Per-band tile pulls that overlap with later bands' compute.
+
+    The TPU executes enqueued programs in FIFO order, so a device op
+    dispatched after band i+1's kernel cannot run until that kernel
+    finishes — a naive "compute everything, then encode and pull" loop
+    serializes the whole pipeline behind the last band (the round-1/2
+    engines lost ~min(compute, transfer) seconds to exactly this). The
+    protocol:
+
+    1. ``dispatch(tiles, live_idx)`` right after enqueueing a band's
+       producer: it enqueues only that band's per-tile min/max and its
+       residual byte-plane-0/1 extractions, so they run as soon as the
+       band's kernel retires.
+    2. ``pull(handle)`` for each band in dispatch order: the min/max pull
+       is the only synchronization on the band's kernel; plane pulls of
+       already-produced arrays are pure DMA and overlap later bands'
+       compute. The whole plane 1 is pulled when at least half the tiles
+       need it (exact either way); narrow subsets and the rare plane-2/3
+       tiles become gathers that land at the queue tail — their pulls
+       are deferred.
+    3. ``finalize()`` drains the deferred corrections (tiny transfers).
+
+    Callers must not consume a band's array until after ``finalize()``.
+    """
+
+    def __init__(self):
+        self._deferred = []  # (out, sel, device_bytes, shift)
+
+    def dispatch(self, tiles: jnp.ndarray, live_idx: np.ndarray):
+        live_idx = np.asarray(live_idx, dtype=np.int32)
+        live_dev = jnp.asarray(live_idx)
+        minmax = _tile_minmax(tiles, live_dev)
+        p0 = _byte_plane(tiles, live_dev, minmax[0], plane=0)
+        p1 = _byte_plane(tiles, live_dev, minmax[0], plane=1)
+        return (tiles, live_idx, minmax, p0, p1)
+
+    def pull(self, handle) -> np.ndarray:
+        tiles, live_idx, minmax_dev, p0, p1 = handle
+        mins, maxes = np.asarray(minmax_dev)
+        span = maxes - mins
+        out = mins[:, None, None] + _decode(np.asarray(p0), 0)
+        for p in range(1, 4):
+            sel = np.flatnonzero(span >= (1 << (8 * p)))
+            if sel.size == 0:
+                break
+            if p == 1 and 2 * sel.size >= live_idx.size:
+                out += _decode(np.asarray(p1), 8)
+                continue
+            idx_pad = _pad_idx(live_idx[sel], _bucket(sel.size))
+            mins_pad = _pad_idx(mins[sel], idx_pad.size)
+            dev = _byte_plane(
+                tiles, jnp.asarray(idx_pad), jnp.asarray(mins_pad), plane=p
+            )
+            self._deferred.append((out, sel, dev, 8 * p))
+        return out
+
+    def finalize(self) -> None:
+        for out, sel, dev, shift in self._deferred:
+            out[sel] += _decode(np.asarray(dev)[: sel.size], shift)
+        self._deferred.clear()
+
+
+def pull_tiles_int32(
+    tiles: jnp.ndarray,  # [M, th, tw] int32 on device
+    live_idx: np.ndarray,  # [L] — tiles to pull, in pull order
+) -> np.ndarray:
+    """Pull ``tiles[live_idx]`` to the host as exact int32 in one shot
+    (the non-streaming case: the producer has already been enqueued and
+    nothing else needs to overlap)."""
+    puller = StreamingTilePuller()
+    out = puller.pull(puller.dispatch(tiles, live_idx))
+    puller.finalize()
+    return out

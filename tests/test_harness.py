@@ -178,6 +178,38 @@ def test_multiclass_runner_end_to_end(tmp_path, rng):
     assert res["acc"] > 0.7
 
 
+def test_arabic_runner_kernel_ovo(tmp_path, rng):
+    """MADAR-format dialect data (3-letter city codes, ArabicUtility)
+    through the kernel one-vs-one path end to end — the reference routes
+    these sets through sklearn OvR only (test/utils.py:307-369); here the
+    precomputed-kernel OvO handles them natively."""
+    from fastsk_tpu.harness.runner import FastskMulticlassRunner
+    from fastsk_tpu.io.readers import ArabicUtility
+
+    motifs = {"MSA": [1, 1, 2, 2, 1, 1], "CAI": [3, 3, 4, 4, 3, 3],
+              "BEI": [5, 6, 5, 6, 5, 6]}
+
+    def make(n):
+        lines = []
+        for _ in range(n):
+            lab = ("MSA", "CAI", "BEI")[rng.integers(0, 3)]
+            s = rng.integers(0, 26, size=30)
+            pos = rng.integers(0, 24)
+            s[pos : pos + 6] = motifs[lab]
+            lines.append("".join(chr(97 + v) for v in s) + "\t" + lab)
+        return "\n".join(lines) + "\n"
+
+    (tmp_path / "tr.tsv").write_text(make(60))
+    (tmp_path / "te.tsv").write_text(make(24))
+    runner = FastskMulticlassRunner(
+        str(tmp_path / "tr.tsv"), str(tmp_path / "te.tsv"),
+        reader=ArabicUtility(),
+    )
+    assert sorted(set(runner.Ytrain)) == [1, 2, 3]  # dense city-code ids
+    res = runner.train_and_test(g=6, m=2, approx=False, svm="kernel_ovo")
+    assert res["acc"] > 0.7
+
+
 def test_multiclass_runner_kernel_ovo(tmp_path, rng):
     """The kernel one-vs-one path classifies the synthetic MADAR-style
     task as well as the linear OvR path."""

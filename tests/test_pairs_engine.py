@@ -92,6 +92,24 @@ def test_pallas_kernel_interpret_matches_oracle(rng):
     np.testing.assert_array_equal(K_o, K_p)
 
 
+def test_pallas_streaming_transfer_matches_oracle(rng):
+    """The banded byte-plane streaming path (forced via _small_bytes=0)
+    must equal the oracle bit for bit — covers the per-band tile lists,
+    min-offset decode, deferred plane gathers, and per-i-row assembly."""
+    from fastsk_tpu.kernel.config import KernelConfig
+
+    X = random_ragged_seqs(rng, 13, 9, 18, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 6, 3, KernelConfig(pairs_backend="pallas")
+    )
+    eng._small_bytes = 0  # force the streaming machinery on a tiny matrix
+    x = eng._build_x()
+    upper = eng._exact_pallas(x, interpret=True)[: eng.n, : eng.n]
+    K_p = np.triu(upper) + np.triu(upper, 1).T
+    np.testing.assert_array_equal(K_o, K_p)
+
+
 def test_pallas_int8_band_matches_oracle(rng):
     """int8 MXU path + banded launches (interpret mode) equal the oracle."""
     import jax.numpy as jnp

@@ -19,9 +19,10 @@ residual:
     value = min_t + b0 + 256*b1 + 65536*b2 + 16777216*b3
 
 - plane 0 is pulled for every live tile (1 byte/entry),
-- plane p >= 1 is pulled only for tiles whose (max - min) reaches 256^p,
-  gathered with a geometrically-bucketed index list so the jitted gather
-  compiles for O(log n_tiles) shapes, not per run.
+- plane p >= 1 is pulled whole when at least half the tiles need it,
+  else only for tiles whose (max - min) reaches 256^p, gathered with a
+  geometrically-bucketed index list so the jitted gather compiles for
+  O(log n_tiles) shapes, not per run.
 
 Adding a plane is exact even for tiles that don't need it (their residual
 bytes are zero), which lets the streaming variant pull a whole
@@ -103,10 +104,13 @@ class StreamingTilePuller:
     2. ``pull(handle)`` for each band in dispatch order: the min/max pull
        is the only synchronization on the band's kernel; plane pulls of
        already-produced arrays are pure DMA and overlap later bands'
-       compute. The whole plane 1 is pulled when at least half the tiles
-       need it (exact either way); narrow subsets and the rare plane-2/3
-       tiles become gathers that land at the queue tail — their pulls
-       are deferred.
+       compute. Any plane needed by at least half the tiles is pulled
+       WHOLE (exact either way — unneeded tiles contribute zero bytes):
+       on wide-span data (DNA kernels, where every tile's range tops
+       2^16 — measured on EP300_47848 g16 m10) this is plain 3-byte
+       packing with zero gather overhead, while clustered data still
+       rides 1-2 planes. Only narrow tails become bucketed gathers that
+       land at the queue tail — their pulls are deferred.
     3. ``finalize()`` drains the deferred corrections (tiny transfers).
 
     Callers must not consume a band's array until after ``finalize()``.
@@ -132,8 +136,20 @@ class StreamingTilePuller:
             sel = np.flatnonzero(span >= (1 << (8 * p)))
             if sel.size == 0:
                 break
-            if p == 1 and 2 * sel.size >= live_idx.size:
-                out += _decode(np.asarray(p1), 8)
+            if 2 * sel.size >= live_idx.size:
+                # whole plane: pure DMA for p=1 (already extracted),
+                # one full-width gather+bitcast for p>=2 — no padding,
+                # no host scatter-add
+                if p == 1:
+                    out += _decode(np.asarray(p1), 8)
+                else:
+                    dev = _byte_plane(
+                        tiles,
+                        jnp.asarray(live_idx),
+                        jnp.asarray(mins),
+                        plane=p,
+                    )
+                    self._deferred.append((out, None, dev, 8 * p))
                 continue
             idx_pad = _pad_idx(live_idx[sel], _bucket(sel.size))
             mins_pad = _pad_idx(mins[sel], idx_pad.size)
@@ -145,7 +161,10 @@ class StreamingTilePuller:
 
     def finalize(self) -> None:
         for out, sel, dev, shift in self._deferred:
-            out[sel] += _decode(np.asarray(dev)[: sel.size], shift)
+            if sel is None:
+                out += _decode(np.asarray(dev), shift)
+            else:
+                out[sel] += _decode(np.asarray(dev)[: sel.size], shift)
         self._deferred.clear()
 
 

@@ -128,3 +128,18 @@ def test_ep300_run_check_parity():
         C=1.0,
     )
     assert res["auc"] >= 0.9
+
+
+def test_reference_import_alias():
+    """The reference's documented import surface (src/fastsk/__init__.py:1-2,
+    src/fastsk/utils.py) works verbatim against the TPU engine — existing
+    user scripts switch without edits."""
+    from fastsk import FastSK as AliasFastSK
+    from fastsk import FastaUtility as AliasFasta
+    from fastsk.utils import FastaUtility as UtilsFasta, Vocabulary
+
+    import fastsk_tpu
+
+    assert AliasFastSK is fastsk_tpu.FastSK
+    assert AliasFasta is UtilsFasta is fastsk_tpu.FastaUtility
+    assert Vocabulary is fastsk_tpu.Vocabulary

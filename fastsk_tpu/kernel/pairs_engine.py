@@ -173,19 +173,19 @@ class PairsGkmEngine:
         """Banded execution + byte-plane streaming, returning the FULL
         symmetric matrix.
 
-        ~12 row-band kernel launches; each band's live (upper-triangle)
-        blocks are pulled as min-offset byte planes (ops/transfer.py)
-        immediately after that band's kernel retires, overlapping the
-        pull of band i with the compute of bands i+1.. — the device->host
-        link (~12 MB/s through the remote tunnel) is the end-to-end
-        bottleneck, so dead lower-triangle blocks never transfer and most
-        live tiles cost ~1-2 bytes/count instead of 4. The lower triangle
-        is then filled by a cache-blocked transpose of the upper
-        (symmetric counts), ~10x faster than a np.triu + transpose-add
-        mirror on a 400 MB matrix.
+        ~12 row-band kernel launches; every band's live (upper-triangle)
+        blocks are pulled as min-offset byte planes (ops/transfer.py),
+        batched into one round trip per plane level — the device->host
+        link (per-request latency plus ~8-12 MB/s bandwidth through the
+        remote tunnel) is the end-to-end bottleneck, so dead
+        lower-triangle blocks never transfer and wide-span data moves at
+        3 bytes/count in ~4 round trips. The lower triangle is then
+        filled by a cache-blocked transpose of the upper (symmetric
+        counts), ~10x faster than a np.triu + transpose-add mirror on a
+        400 MB matrix.
         """
         from ..ops import pairs_pallas
-        from ..ops.transfer import StreamingTilePuller
+        from ..ops.transfer import StreamingTilePuller, pull_array
 
         n_i = self.n_pad // self.c_i
         n_j = self.n_pad // self.c_j
@@ -207,7 +207,7 @@ class PairsGkmEngine:
                     x, jnp.int32(i0), n_i_band=nb, **kwargs
                 )
                 j0 = int(j_lo[i0])
-                part = np.asarray(blocks[:, j0:])
+                part = pull_array(blocks[:, j0:])
                 k_full[
                     i0 * self.c_i : (i0 + nb) * self.c_i, j0 * self.c_j :
                 ] = part.transpose(0, 2, 1, 3).reshape(
@@ -215,7 +215,7 @@ class PairsGkmEngine:
                 )
         else:
             puller = StreamingTilePuller()
-            handles = []
+            meta, handles = [], []
             for i0 in range(0, n_i, band):
                 nb = min(band, n_i - i0)
                 blocks = pairs_pallas.pairs_kernel_blocks(
@@ -228,11 +228,12 @@ class PairsGkmEngine:
                         for il in range(nb)
                     ]
                 )
-                handles.append((i0, nb, puller.dispatch(tiles, live)))
+                meta.append((i0, nb))
+                handles.append(puller.dispatch(tiles, live))
             pulled = [
-                (i0, nb, puller.pull(h)) for i0, nb, h in handles
+                (i0, nb, arr)
+                for (i0, nb), arr in zip(meta, puller.pull_all(handles))
             ]
-            puller.finalize()
             for i0, nb, arr in pulled:
                 pos = 0
                 for il in range(nb):

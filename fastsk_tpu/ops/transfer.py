@@ -25,11 +25,11 @@ residual:
   O(log n_tiles) shapes, not per run.
 
 Adding a plane is exact even for tiles that don't need it (their residual
-bytes are zero), which lets the streaming variant pull a whole
-already-computed plane as pure DMA instead of a queued gather. The byte
-planes are plain gathers + bitcasts — pure XLA (no Pallas), testable on
-CPU, bit-identical to pulling the int32s whole. Counts are >= 0 < 2^31 so
-plane 3 of the residual never carries a sign bit.
+bytes are zero), which lets a whole already-computed plane move as one
+pull instead of a queued gather. The byte planes are plain gathers +
+bitcasts — pure XLA (no Pallas), testable on CPU, bit-identical to
+pulling the int32s whole. Counts are >= 0 < 2^31 so plane 3 of the
+residual never carries a sign bit.
 
 Used by kernel/pairs_engine.py for both the banded seq-aligned path and
 the packed ragged path (the counts are the countAndUpdateTri
@@ -87,37 +87,51 @@ def _decode(raw: np.ndarray, shift: int) -> np.ndarray:
     return raw.view(np.uint8).astype(np.int32) << shift
 
 
+# measured sweet spot of the remote tunnel: 4-8 MB requests sustain
+# ~20-27 MB/s and stay robust under load, while both ~1 MB (per-request
+# overhead) and >=24 MB requests (queue preemption) degrade, the large
+# ones catastrophically in contended windows (24 MB chunks: 4.8-27 MB/s
+# across windows; 4 MB: 17-24). Interleaved chunk-size sweep, 2026-08-17.
+CHUNK_BYTES = 6 << 20
+
+
+def pull_array(dev) -> np.ndarray:
+    """Chunked device->host pull: one request per ~CHUNK_BYTES along
+    axis 0. Exact — pure slicing."""
+    nbytes = dev.size * dev.dtype.itemsize
+    if nbytes <= CHUNK_BYTES + (CHUNK_BYTES >> 1):
+        return np.asarray(dev)
+    rows = dev.shape[0]
+    per = max(1, (rows * CHUNK_BYTES) // nbytes)
+    return np.concatenate(
+        [np.asarray(dev[o : o + per]) for o in range(0, rows, per)]
+    )
+
+
 class StreamingTilePuller:
-    """Per-band tile pulls that overlap with later bands' compute.
+    """Per-part tile pulls that overlap with later parts' compute.
 
     The TPU executes enqueued programs in FIFO order, so a device op
-    dispatched after band i+1's kernel cannot run until that kernel
+    dispatched after part i+1's kernel cannot run until that kernel
     finishes — a naive "compute everything, then encode and pull" loop
-    serializes the whole pipeline behind the last band (the round-1/2
-    engines lost ~min(compute, transfer) seconds to exactly this). The
-    protocol:
+    serializes the whole pipeline behind the last part. The protocol:
 
-    1. ``dispatch(tiles, live_idx)`` right after enqueueing a band's
-       producer: it enqueues only that band's per-tile min/max and its
+    1. ``dispatch(tiles, live_idx)`` right after enqueueing a part's
+       producer: it enqueues only that part's per-tile min/max and its
        residual byte-plane-0/1 extractions, so they run as soon as the
-       band's kernel retires.
-    2. ``pull(handle)`` for each band in dispatch order: the min/max pull
-       is the only synchronization on the band's kernel; plane pulls of
-       already-produced arrays are pure DMA and overlap later bands'
-       compute. Any plane needed by at least half the tiles is pulled
-       WHOLE (exact either way — unneeded tiles contribute zero bytes):
-       on wide-span data (DNA kernels, where every tile's range tops
-       2^16 — measured on EP300_47848 g16 m10) this is plain 3-byte
-       packing with zero gather overhead, while clustered data still
-       rides 1-2 planes. Only narrow tails become bucketed gathers that
-       land at the queue tail — their pulls are deferred.
-    3. ``finalize()`` drains the deferred corrections (tiny transfers).
-
-    Callers must not consume a band's array until after ``finalize()``.
+       part's kernel retires.
+    2. ``pull_all(handles)`` walks parts in dispatch order; each part's
+       min/max pull is the only synchronization on its kernel, and its
+       plane pulls (chunked to the tunnel's measured request sweet spot,
+       see CHUNK_BYTES) overlap later parts' compute. Any plane needed
+       by at least half the part's tiles is pulled WHOLE (exact either
+       way — unneeded tiles contribute zero residual bytes): on
+       wide-span data (DNA kernels, where every tile's range tops 2^16
+       — measured on EP300_47848 g16 m10) this is plain 3-byte packing
+       with zero gather overhead, while clustered data rides 1-2
+       planes. Narrow tails become bucketed gathers that land at the
+       queue tail; their pulls drain after every part's bulk planes.
     """
-
-    def __init__(self):
-        self._deferred = []  # (out, sel, device_bytes, shift)
 
     def dispatch(self, tiles: jnp.ndarray, live_idx: np.ndarray):
         live_idx = np.asarray(live_idx, dtype=np.int32)
@@ -127,55 +141,53 @@ class StreamingTilePuller:
         p1 = _byte_plane(tiles, live_dev, minmax[0], plane=1)
         return (tiles, live_idx, minmax, p0, p1)
 
-    def pull(self, handle) -> np.ndarray:
-        tiles, live_idx, minmax_dev, p0, p1 = handle
-        mins, maxes = np.asarray(minmax_dev)
-        span = maxes - mins
-        out = mins[:, None, None] + _decode(np.asarray(p0), 0)
-        for p in range(1, 4):
-            sel = np.flatnonzero(span >= (1 << (8 * p)))
-            if sel.size == 0:
-                break
-            if 2 * sel.size >= live_idx.size:
-                # whole plane: pure DMA for p=1 (already extracted),
-                # one full-width gather+bitcast for p>=2 — no padding,
-                # no host scatter-add
-                if p == 1:
-                    out += _decode(np.asarray(p1), 8)
-                else:
-                    dev = _byte_plane(
-                        tiles,
-                        jnp.asarray(live_idx),
-                        jnp.asarray(mins),
-                        plane=p,
-                    )
-                    self._deferred.append((out, None, dev, 8 * p))
-                continue
-            idx_pad = _pad_idx(live_idx[sel], _bucket(sel.size))
-            mins_pad = _pad_idx(mins[sel], idx_pad.size)
-            dev = _byte_plane(
-                tiles, jnp.asarray(idx_pad), jnp.asarray(mins_pad), plane=p
-            )
-            self._deferred.append((out, sel, dev, 8 * p))
-        return out
-
-    def finalize(self) -> None:
-        for out, sel, dev, shift in self._deferred:
+    def pull_all(self, handles) -> list:
+        """One exact int32 array per handle, in dispatch order."""
+        outs, deferred = [], []
+        for tiles, live_idx, minmax_dev, p0, p1 in handles:
+            mins, maxes = np.asarray(minmax_dev)
+            span = maxes - mins
+            out = mins[:, None, None] + _decode(pull_array(p0), 0)
+            for p in range(1, 4):
+                sel = np.flatnonzero(span >= (1 << (8 * p)))
+                if sel.size == 0:
+                    break
+                if 2 * sel.size >= live_idx.size:
+                    # whole plane: already extracted for p=1, one
+                    # full-width gather+bitcast for p>=2 — no padding,
+                    # no host scatter-add
+                    if p == 1:
+                        out += _decode(pull_array(p1), 8)
+                    else:
+                        dev = _byte_plane(
+                            tiles,
+                            jnp.asarray(live_idx),
+                            jnp.asarray(mins),
+                            plane=p,
+                        )
+                        deferred.append((out, None, dev, 8 * p))
+                    continue
+                idx_pad = _pad_idx(live_idx[sel], _bucket(sel.size))
+                mins_pad = _pad_idx(mins[sel], idx_pad.size)
+                dev = _byte_plane(
+                    tiles, jnp.asarray(idx_pad), jnp.asarray(mins_pad),
+                    plane=p,
+                )
+                deferred.append((out, sel, dev, 8 * p))
+            outs.append(out)
+        for out, sel, dev, shift in deferred:
             if sel is None:
-                out += _decode(np.asarray(dev), shift)
+                out += _decode(pull_array(dev), shift)
             else:
-                out[sel] += _decode(np.asarray(dev)[: sel.size], shift)
-        self._deferred.clear()
+                out[sel] += _decode(pull_array(dev)[: sel.size], shift)
+        return outs
 
 
 def pull_tiles_int32(
     tiles: jnp.ndarray,  # [M, th, tw] int32 on device
     live_idx: np.ndarray,  # [L] — tiles to pull, in pull order
 ) -> np.ndarray:
-    """Pull ``tiles[live_idx]`` to the host as exact int32 in one shot
-    (the non-streaming case: the producer has already been enqueued and
-    nothing else needs to overlap)."""
+    """Pull ``tiles[live_idx]`` to the host as exact int32 (single-part
+    case: the producer has already been enqueued)."""
     puller = StreamingTilePuller()
-    out = puller.pull(puller.dispatch(tiles, live_idx))
-    puller.finalize()
-    return out
+    return puller.pull_all([puller.dispatch(tiles, live_idx)])[0]

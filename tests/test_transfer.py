@@ -85,8 +85,7 @@ def test_min_offset_narrows_planes(rng):
     try:
         puller = transfer.StreamingTilePuller()
         h = puller.dispatch(tiles, np.arange(m))
-        got = puller.pull(h)
-        puller.finalize()
+        (got,) = puller.pull_all([h])
     finally:
         transfer._byte_plane = orig
     np.testing.assert_array_equal(got, tiles_np)
@@ -95,20 +94,55 @@ def test_min_offset_narrows_planes(rng):
 
 
 def test_streaming_multiple_bands_with_deferrals(rng):
-    """Several bands in flight; deferred plane-2 gathers land in
-    finalize() and correct the already-pulled arrays in place."""
+    """Several bands in flight; the rare wide tiles ride per-band
+    bucketed plane-1/2 gathers that correct the batched pull in place."""
     from fastsk_tpu.ops.transfer import StreamingTilePuller
 
     bands = []
     for b in range(3):
-        tiles_np = rng.integers(0, 300, size=(10, 4, 8)).astype(np.int32)
-        tiles_np[b] += 1 << 20  # one wide tile per band -> plane 2 deferral
+        tiles_np = rng.integers(0, 200, size=(10, 4, 8)).astype(np.int32)
+        tiles_np[b] += 1 << 20  # one wide tile per band -> plane 1+2 tails
         bands.append(tiles_np)
     puller = StreamingTilePuller()
-    handles = [
-        (t, puller.dispatch(jnp.asarray(t), np.arange(10))) for t in bands
-    ]
-    outs = [(t, puller.pull(h)) for t, h in handles]
-    puller.finalize()
-    for t, o in outs:
+    handles = [puller.dispatch(jnp.asarray(t), np.arange(10)) for t in bands]
+    outs = puller.pull_all(handles)
+    for t, o in zip(bands, outs):
         np.testing.assert_array_equal(o, t)
+
+
+def test_pull_all_mixed_band_sizes(rng):
+    """Bands of different live counts concatenate correctly; a whole
+    plane 1 is pulled when most tiles are wide, per-band plane-2 tails
+    correct only their own band's slots."""
+    from fastsk_tpu.ops.transfer import StreamingTilePuller
+
+    puller = StreamingTilePuller()
+    bands, handles = [], []
+    for b, (m, wide) in enumerate([(5, True), (12, True), (3, False)]):
+        tiles_np = rng.integers(0, 70_000, size=(m, 4, 8)).astype(np.int32)
+        if not wide:
+            tiles_np %= 200
+        if b == 1:
+            tiles_np[4] += 1 << 22  # a plane-2 tail inside band 1
+        bands.append(tiles_np)
+        handles.append(puller.dispatch(jnp.asarray(tiles_np), np.arange(m)))
+    outs = puller.pull_all(handles)
+    for t, o in zip(bands, outs):
+        np.testing.assert_array_equal(o, t)
+
+
+def test_pull_array_chunked_matches_whole(rng):
+    """Chunked pulls concatenate back to the exact array for sizes
+    around the chunk boundary (including non-divisible row counts)."""
+    from fastsk_tpu.ops import transfer
+
+    orig = transfer.CHUNK_BYTES
+    transfer.CHUNK_BYTES = 1 << 10  # 1 KB chunks to force many requests
+    try:
+        for rows in (1, 7, 64, 129):
+            a = rng.integers(-(2**31), 2**31 - 1, size=(rows, 37),
+                             dtype=np.int64).astype(np.int32)
+            got = transfer.pull_array(jnp.asarray(a))
+            np.testing.assert_array_equal(got, a)
+    finally:
+        transfer.CHUNK_BYTES = orig

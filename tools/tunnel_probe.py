@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Probe the device->host tunnel: compile latency + pull throughput.
+
+The shared remote TPU ("axon") contends across tenants; measured pull
+throughput has ranged 1.5-17 MB/s between sessions. Benchmarks are
+meaningless when the tunnel is degraded, so run this first:
+
+    python tools/tunnel_probe.py [--mb 24]
+
+prints one line: ``tunnel: compile=XXs pull=XX MB/s exec=XXms``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = args.mb * (1 << 20) // 4
+
+    @jax.jit
+    def make(seed):
+        # cheap to compute, incompressible-ish payload; fresh seed per
+        # call defeats the axon execution dedupe
+        return jax.random.bits(jax.random.PRNGKey(seed), (n,)).astype(
+            jnp.int32
+        )
+
+    t0 = time.perf_counter()
+    x = make(jnp.int32(0))
+    _ = np.asarray(x[:8])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    x = make(jnp.int32(1))
+    _ = np.asarray(x[:8])
+    exec_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    _ = np.asarray(make(jnp.int32(2)))
+    pull = args.mb / (time.perf_counter() - t0)
+
+    print(
+        f"tunnel: compile={compile_s:.1f}s pull={pull:.1f} MB/s "
+        f"exec={exec_ms:.0f}ms ({jax.devices()[0].platform})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

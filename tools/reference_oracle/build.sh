@@ -12,4 +12,9 @@ g++ -O3 -march=native -I "$REF" dump_kernel.cpp \
 g++ -O3 -march=native -I "$REF" bench_main.cpp \
     "$REF/shared.cpp" "$REF/fastsk_kernel.cpp" \
     -o bench_main -lpthread
-echo "built $(pwd)/dump_kernel and $(pwd)/bench_main"
+# --wrap=malloc: see the header comment in svm_oracle.cpp (works around a
+# latent heap overflow in the fork's never-exercised svm_load_model)
+g++ -O2 -I "$REF" svm_oracle.cpp \
+    "$REF/libsvm-code/svm.cpp" \
+    -Wl,--wrap=malloc -o svm_oracle -lpthread
+echo "built $(pwd)/dump_kernel, $(pwd)/bench_main and $(pwd)/svm_oracle"

@@ -49,9 +49,16 @@ def main() -> int:
     _ = np.asarray(make(jnp.int32(2)))
     pull = args.mb / (time.perf_counter() - t0)
 
+    from fastsk_tpu.ops.transfer import pull_array
+
+    t0 = time.perf_counter()
+    _ = pull_array(make(jnp.int32(3)).reshape(-1, 1 << 10))
+    pull_c = args.mb / (time.perf_counter() - t0)
+
     print(
         f"tunnel: compile={compile_s:.1f}s pull={pull:.1f} MB/s "
-        f"exec={exec_ms:.0f}ms ({jax.devices()[0].platform})"
+        f"(chunked {pull_c:.1f}) exec={exec_ms:.0f}ms "
+        f"({jax.devices()[0].platform})"
     )
     return 0
 

@@ -74,7 +74,8 @@ def main() -> None:
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
     pairs = enc.n * (enc.n + 1) / 2 * total_passes
     walls = []
-    for r in range(5):
+    t_loop = time.perf_counter()
+    for r in range(8):
         t0 = time.perf_counter()
         counts = engine.exact()
         walls.append(time.perf_counter() - t0)
@@ -82,9 +83,13 @@ def main() -> None:
             f"steady run: {walls[-1]:.2f} s "
             f"({pairs / walls[-1]:.2e} pairs/s)"
         )
-        # the shared tunnel/device can be contended by other tenants;
-        # stop early once a run is plausibly contention-free
-        if r >= 2 and min(walls) < 12.0:
+        # the shared tunnel/device fluctuates 5-25 MB/s between windows
+        # (see RESULTS.md transfer characterization): run at least 3,
+        # stop early on a plausibly contention-free run, keep retrying
+        # contended runs up to a ~12 min budget
+        if r >= 2 and (
+            min(walls) < 12.0 or time.perf_counter() - t_loop > 720
+        ):
             break
     wall = min(walls)
     log(f"full exact kernel (best of 3): {wall:.2f} s; K[0,0]={counts[0, 0]}")

@@ -252,6 +252,48 @@ def plot_sorted_approx(path, out):
     fig.savefig(out, dpi=150)
 
 
+def plot_trainsize(path, out, fastsk_auc=None):
+    """DL-baseline train-size curves (the reference's
+    trainsize_varyresults family, results/neural_nets/run_cnn.py): mean
+    AUC ± sd across seeds vs train fraction, one line per model, with the
+    fastsk exact-kernel AUC as the reference line. Reads the
+    ``<ds>_<model>_trainsize.csv`` files next to ``path`` (pass any one
+    of them)."""
+    import os as _os
+
+    d = _os.path.dirname(path)
+    ds = _os.path.basename(path).split("_")[0]
+    fig, ax = plt.subplots(figsize=(4.6, 3.5))
+    for si, model in enumerate(("cnn", "lstm")):
+        fp = _os.path.join(d, f"{ds}_{model}_trainsize.csv")
+        if not _os.path.exists(fp):
+            continue
+        rows = _read(fp)
+        fracs = sorted({float(r["fraction"]) for r in rows})
+        mean, sd = [], []
+        for fr in fracs:
+            v = [float(r["auc"]) for r in rows if float(r["fraction"]) == fr]
+            mean.append(sum(v) / len(v))
+            sd.append((sum((x - mean[-1]) ** 2 for x in v) / len(v)) ** 0.5)
+        ax.errorbar(
+            fracs, mean, yerr=sd, marker="o", ms=4, capsize=3,
+            color=_CAT[si + 1], label=model.upper(),
+        )
+    if fastsk_auc is not None:
+        ax.axhline(
+            fastsk_auc, color=_CAT[0], linewidth=1.2, linestyle="--",
+            label="fastsk exact (full train)",
+        )
+    ax.set_xlabel("train fraction")
+    ax.set_ylabel("test AUROC (mean ± sd over seeds)")
+    ax.set_title(ds, fontsize=10)
+    ax.grid(alpha=0.25, linewidth=0.5)
+    ax.set_axisbelow(True)
+    ax.legend(fontsize=8, frameon=False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 PLOTTERS = {
     "g_time": plot_g_time,
     "m_time": plot_m_time,
@@ -264,6 +306,7 @@ PLOTTERS = {
     "stdev_ci": plot_stdev_ci,
     "multiclass": plot_multiclass,
     "sorted_approx": plot_sorted_approx,
+    "trainsize": plot_trainsize,
 }
 
 

@@ -65,7 +65,7 @@ def main() -> None:
         f"c_i={engine.c_i} c_j={engine.c_j} strips={engine.n_strips_i}"
     )
 
-    # first call compiles; report the best of three steady-state runs
+    # first call compiles; report the best of 3-8 steady-state runs
     # (each exact() rebuilds its device inputs, so remote-execution caches
     # cannot shortcut the measurement; best-of defends against transient
     # contention on shared devices)
@@ -92,7 +92,10 @@ def main() -> None:
         ):
             break
     wall = min(walls)
-    log(f"full exact kernel (best of 3): {wall:.2f} s; K[0,0]={counts[0, 0]}")
+    log(
+        f"full exact kernel (best of {len(walls)}): {wall:.2f} s; "
+        f"K[0,0]={counts[0, 0]}"
+    )
 
     log(f"pairs/s/chip: {pairs / wall:.3e}")
 

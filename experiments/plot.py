@@ -262,7 +262,17 @@ def plot_trainsize(path, out, fastsk_auc=None):
     import os as _os
 
     d = _os.path.dirname(path)
-    ds = _os.path.basename(path).split("_")[0]
+    # path is <ds>_<model>_trainsize.csv; ds itself may contain
+    # underscores (EP300_47848), so strip the two known suffix parts
+    ds = _os.path.basename(path).rsplit("_", 2)[0]
+    if fastsk_auc is None:
+        # the exact-kernel reference line lives in fastsk_ref.csv next
+        # to the sweeps (our measured exact AUCs, RESULTS.md section 2)
+        ref = _os.path.join(d, "fastsk_ref.csv")
+        if _os.path.exists(ref):
+            for r in _read(ref):
+                if r["dataset"] == ds:
+                    fastsk_auc = float(r["auc"])
     fig, ax = plt.subplots(figsize=(4.6, 3.5))
     for si, model in enumerate(("cnn", "lstm")):
         fp = _os.path.join(d, f"{ds}_{model}_trainsize.csv")
@@ -322,11 +332,23 @@ def main(argv=None):
         PLOTTERS[args.kind](args.csv, args.csv.replace(".csv", ".png"))
         return
     if args.all:
+        seen_trainsize = set()
         for path in glob.glob(os.path.join(args.all, "*.csv")):
             for kind, fn in PLOTTERS.items():
-                if path.endswith(f"_{kind}.csv"):
+                if not path.endswith(f"_{kind}.csv"):
+                    continue
+                if kind == "trainsize":
+                    # one figure per dataset (the generator reads every
+                    # model's CSV itself), named <ds>_trainsize.png
+                    ds = os.path.basename(path).rsplit("_", 2)[0]
+                    if ds in seen_trainsize:
+                        continue
+                    seen_trainsize.add(ds)
+                    out = os.path.join(args.all, f"{ds}_trainsize.png")
+                    fn(path, out)
+                else:
                     fn(path, path.replace(".csv", ".png"))
-                    print(f"rendered {path}")
+                print(f"rendered {path}")
         pj = os.path.join(args.all, "parity_full.json")
         if os.path.exists(pj):
             plot_parity_scatter(pj, os.path.join(args.all, "parity_scatter.png"))

@@ -95,17 +95,29 @@ def _decode(raw: np.ndarray, shift: int) -> np.ndarray:
 CHUNK_BYTES = 6 << 20
 
 
+def _chunk_slices(dev) -> list:
+    """Slice a device array into ~CHUNK_BYTES pieces along axis 0. The
+    slice programs are enqueued HERE — callers that need the pieces to
+    sit directly behind a specific producer in the FIFO queue (band
+    overlap) must call this right after enqueueing that producer."""
+    nbytes = dev.size * dev.dtype.itemsize
+    if nbytes <= CHUNK_BYTES + (CHUNK_BYTES >> 1):
+        return [dev]
+    rows = dev.shape[0]
+    per = max(1, (rows * CHUNK_BYTES) // nbytes)
+    return [dev[o : o + per] for o in range(0, rows, per)]
+
+
 def pull_array(dev) -> np.ndarray:
     """Chunked device->host pull: one request per ~CHUNK_BYTES along
     axis 0. Exact — pure slicing."""
-    nbytes = dev.size * dev.dtype.itemsize
-    if nbytes <= CHUNK_BYTES + (CHUNK_BYTES >> 1):
-        return np.asarray(dev)
-    rows = dev.shape[0]
-    per = max(1, (rows * CHUNK_BYTES) // nbytes)
-    return np.concatenate(
-        [np.asarray(dev[o : o + per]) for o in range(0, rows, per)]
-    )
+    return _pull_chunks(_chunk_slices(dev))
+
+
+def _pull_chunks(chunks: list) -> np.ndarray:
+    if len(chunks) == 1:
+        return np.asarray(chunks[0])
+    return np.concatenate([np.asarray(c) for c in chunks])
 
 
 class StreamingTilePuller:
@@ -137,8 +149,11 @@ class StreamingTilePuller:
         live_idx = np.asarray(live_idx, dtype=np.int32)
         live_dev = jnp.asarray(live_idx)
         minmax = _tile_minmax(tiles, live_dev)
-        p0 = _byte_plane(tiles, live_dev, minmax[0], plane=0)
-        p1 = _byte_plane(tiles, live_dev, minmax[0], plane=1)
+        # pre-slice the planes into chunk requests NOW so the slice
+        # programs queue directly behind this part's producer and their
+        # pulls overlap later parts' compute
+        p0 = _chunk_slices(_byte_plane(tiles, live_dev, minmax[0], plane=0))
+        p1 = _chunk_slices(_byte_plane(tiles, live_dev, minmax[0], plane=1))
         return (tiles, live_idx, minmax, p0, p1)
 
     def pull_all(self, handles) -> list:
@@ -147,7 +162,7 @@ class StreamingTilePuller:
         for tiles, live_idx, minmax_dev, p0, p1 in handles:
             mins, maxes = np.asarray(minmax_dev)
             span = maxes - mins
-            out = mins[:, None, None] + _decode(pull_array(p0), 0)
+            out = mins[:, None, None] + _decode(_pull_chunks(p0), 0)
             for p in range(1, 4):
                 sel = np.flatnonzero(span >= (1 << (8 * p)))
                 if sel.size == 0:
@@ -157,7 +172,7 @@ class StreamingTilePuller:
                     # full-width gather+bitcast for p>=2 — no padding,
                     # no host scatter-add
                     if p == 1:
-                        out += _decode(pull_array(p1), 8)
+                        out += _decode(_pull_chunks(p1), 8)
                     else:
                         dev = _byte_plane(
                             tiles,

@@ -72,9 +72,13 @@ int main(int argc, char **argv) {
         fprintf(stderr, "failed to open %s\n", argv[2]);
         return 1;
     }
-    char buf[1 << 20];
+    // getline grows the buffer: a %.17g kernel row over a 40k+ sequence
+    // training set tops 1 MB, and a fixed fgets buffer would silently
+    // split it into extra misaligned "test points"
+    char *buf = nullptr;
+    size_t cap = 0;
     std::vector<double> dec(ndec), pr(nc > 0 ? nc : 1);
-    while (fgets(buf, sizeof buf, f)) {
+    while (getline(&buf, &cap, f) != -1) {
         std::vector<double> row = parse_row(buf);
         if (row.empty()) continue;
         // dense PRECOMPUTED node row: position j holds K(test, train_j),
@@ -97,6 +101,7 @@ int main(int argc, char **argv) {
         }
         printf("\n");
     }
+    free(buf);
     fclose(f);
     svm_free_and_destroy_model(&model);
     return 0;

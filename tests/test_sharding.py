@@ -163,3 +163,24 @@ def test_api_routes_ragged_mesh_to_packed(rng, mesh8):
     ref = FastSK(g=6, m=2)
     ref.compute_train(X)
     np.testing.assert_array_equal(ref.kernel_counts, fsk.kernel_counts)
+
+
+def test_exact_engine_non_power_of_two_mesh(rng):
+    """A 2x3 mesh (6 of the 8 virtual devices) produces integer-identical
+    exact counts — no hidden power-of-two assumptions in the rows/theta
+    sharding or the strip round-robin."""
+    from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = [
+        list(rng.integers(1, 5, size=int(rng.integers(10, 18))))
+        for _ in range(14)
+    ]
+    enc = encode_sequences(X)
+    mesh = make_mesh(2, 3)
+    k_mesh = PairsGkmEngine(enc, 6, 3, KernelConfig(mesh=mesh)).exact()
+    k_one = PairsGkmEngine(
+        enc, 6, 3, KernelConfig(pairs_backend="xla")
+    ).exact()
+    np.testing.assert_array_equal(k_mesh, k_one)

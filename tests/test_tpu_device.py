@@ -47,3 +47,25 @@ def test_sorted_on_device(rng):
     X = random_ragged_seqs(rng, 15, 15, 40, alphabet=25)
     eng = SortedGkmEngine(encode_sequences(X), 8, 2, KernelConfig())
     np.testing.assert_array_equal(oracle.exact_counts(X, 8, 2), eng.exact())
+
+
+def test_streaming_transfer_on_device(rng):
+    """The banded byte-plane streaming path (forced via _small_bytes=0)
+    on REAL hardware: exercises the device-side bitcast byte order, the
+    live-tile gathers, and the chunked pulls that interpret-mode CPU
+    coverage cannot."""
+    X = [rng.integers(1, 6, size=64).tolist() for _ in range(60)]
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 6, 3, KernelConfig(pairs_backend="pallas")
+    )
+    eng._small_bytes = 0
+    from fastsk_tpu.ops import transfer
+
+    orig = transfer.CHUNK_BYTES
+    transfer.CHUNK_BYTES = 1 << 12  # force multi-chunk device pulls
+    try:
+        K = eng.exact()
+    finally:
+        transfer.CHUNK_BYTES = orig
+    np.testing.assert_array_equal(K_o, K)

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--dataset", default="EP300_47848")
     ap.add_argument("--g", type=int, default=16)
     ap.add_argument("--m", type=int, default=10)
+    ap.add_argument(
+        "--phases", action="store_true",
+        help="also report a build/exec/pull phase split per steady run "
+             "(attributes wall to device compute vs host transfer)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -64,6 +69,9 @@ def main() -> None:
         f"pairs engine: n_pad={engine.n_pad} p_pad={engine.p_pad} "
         f"c_i={engine.c_i} c_j={engine.c_j} strips={engine.n_strips_i}"
     )
+
+    if args.phases:
+        phase_split(engine, log)
 
     # first call compiles; report the best of 3-8 steady-state runs
     # (each exact() rebuilds its device inputs, so remote-execution caches
@@ -109,6 +117,62 @@ def main() -> None:
             }
         )
     )
+
+
+def phase_split(engine, log, reps: int = 3) -> None:
+    """Attribute one exact run to build_x / kernel exec / pulls. The
+    tunnel is non-stationary (RESULTS.md transfer characterization), so
+    the pull share is window-dependent; exec is steady ~2.4 s on v5e."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastsk_tpu.ops import pairs_pallas
+    from fastsk_tpu.ops.transfer import StreamingTilePuller
+
+    n_i = engine.n_pad // engine.c_i
+    n_j = engine.n_pad // engine.c_j
+    band = max(1, -(-n_i // 12))
+    kwargs = dict(
+        g=engine.g, k=engine.k, p_pad=engine.p_pad,
+        c_ti=engine.c_i, c_tj=engine.c_j, interpret=False,
+    )
+    j_lo = (np.arange(n_i) * engine.c_i) // engine.c_j
+    for rep in range(reps):
+        t0 = _time.perf_counter()
+        x = engine._build_x()
+        np.asarray(x.ravel()[:1])
+        t_bx = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        bandres = []
+        for i0 in range(0, n_i, band):
+            nb = min(band, n_i - i0)
+            bandres.append(
+                (i0, nb, pairs_pallas.pairs_kernel_blocks(
+                    x, jnp.int32(i0), n_i_band=nb, **kwargs))
+            )
+        for _, _, b in bandres:
+            np.asarray(b[0, -1, 0, :1])
+        t_exec = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        puller = StreamingTilePuller()
+        handles = []
+        for i0, nb, blocks in bandres:
+            tiles = blocks.reshape(nb * n_j, engine.c_i, engine.c_j)
+            live = np.concatenate(
+                [il * n_j + np.arange(j_lo[i0 + il], n_j) for il in range(nb)]
+            )
+            handles.append(puller.dispatch(tiles, live))
+        outs = puller.pull_all(handles)
+        t_pull = _time.perf_counter() - t0
+        mb = sum(o.nbytes for o in outs) / 2**20
+        log(
+            f"phases rep{rep}: build_x={t_bx:.2f}s exec={t_exec:.2f}s "
+            f"pulls={t_pull:.2f}s ({mb:.0f} MB decoded)"
+        )
 
 
 if __name__ == "__main__":

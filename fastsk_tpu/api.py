@@ -53,6 +53,8 @@ class FastSK:
 
         self._counts: Optional[np.ndarray] = None  # int64 [N, N]
         self._K: Optional[np.ndarray] = None  # float64 normalized [N, N]
+        self._counts_dev = None  # DeviceCounts (device-resident mode)
+        self._K_dev = None  # f32 normalized, on device
         self._stdevs: List[float] = []
         self._iters: int = 0
         self.n_str_train = 0
@@ -106,22 +108,44 @@ class FastSK:
         engine = (
             self._make_engine(enc) if self.approx else self._make_exact_engine(enc)
         )
+        # device-resident mode: keep the counts on device and defer the
+        # O(N^2) host pull (the workflow bottleneck through the remote
+        # tunnel) until the host matrix is explicitly accessed; fit/score
+        # consume the kernel on device (kernel/device_counts.py)
+        use_dev = (
+            self.config.device_resident
+            and self.config.mesh is None
+            and self.config.checkpoint_path is None
+        )
+        self._counts_dev = None
+        self._K_dev = None
         if self.approx:
+            dev_ok = use_dev and isinstance(engine, DenseGkmEngine)
             res: ApproxResult = engine.approx(
                 conv_delta=self.delta,
                 max_iters=self.max_iters,
                 skip_variance=self.skip_variance,
                 seed=self.seed,
+                **({"device_out": True} if dev_ok else {}),
             )
             self._stdevs = res.stdevs
             self._iters = res.iters
             counts = res.counts
         else:
-            counts = engine.exact()
+            if use_dev and hasattr(engine, "exact_device"):
+                counts = engine.exact_device()
+            else:
+                counts = engine.exact()
             self._iters = 0
             self._stdevs = []
-        self._counts = counts
-        self._K = cosine_normalize(counts)
+        if isinstance(counts, np.ndarray):
+            self._counts = counts
+            self._K = cosine_normalize(counts)
+        else:  # DeviceCounts
+            self._counts_dev = counts
+            self._K_dev = counts.normalized_f32()
+            self._counts = None
+            self._K = None
         self.n_str_train = enc.n_train
         self.n_str_test = enc.n_test
         # total g-mer count across all sequences — the reference's nfeat
@@ -159,7 +183,13 @@ class FastSK:
 
     def _require_kernel(self) -> np.ndarray:
         if self._K is None:
-            raise RuntimeError("call compute_kernel or compute_train first")
+            if self._counts_dev is None:
+                raise RuntimeError("call compute_kernel or compute_train first")
+            # device-resident run, host matrix explicitly requested:
+            # materialize once (exact integer pull + f64 normalization,
+            # identical to the host-path result)
+            self._counts = self._counts_dev.to_host_int64()
+            self._K = cosine_normalize(self._counts)
         return self._K
 
     @property
@@ -171,7 +201,9 @@ class FastSK:
     def kernel_counts(self) -> np.ndarray:
         """Unnormalized integer count kernel, int64 [N, N]."""
         if self._counts is None:
-            raise RuntimeError("call compute_kernel or compute_train first")
+            if self._counts_dev is None:
+                raise RuntimeError("call compute_kernel or compute_train first")
+            self._require_kernel()
         return self._counts
 
     def get_train_kernel(self) -> List[List[float]]:
@@ -267,19 +299,14 @@ class FastSK:
             raise RuntimeError(
                 "labels are required: pass Ytrain to compute_kernel or call set_labels"
             )
-        k = self._require_kernel()
-        ntr = self.n_str_train
-        rows_train = k[:ntr, :ntr]
-        if kernel_type == "fastsk":
-            gram = rows_train
-        elif kernel_type == "linear":
-            gram = rows_train @ rows_train.T
-        elif kernel_type == "rbf":
-            gamma = 1.0 / max(self.nfeat, 1)
-            sq = np.sum(rows_train**2, axis=1)
-            gram = np.exp(-gamma * (sq[:, None] + sq[None, :] - 2 * rows_train @ rows_train.T))
-        else:
+        if kernel_type not in ("fastsk", "linear", "rbf"):
             raise ValueError("kernel must be 'linear', 'fastsk', or 'rbf'")
+        ntr = self.n_str_train
+        if self._K_dev is not None:
+            rows_train = self._K_dev[:ntr, :ntr]  # stays on device
+        else:
+            rows_train = self._require_kernel()[:ntr, :ntr]
+        gram = self._build_gram(rows_train, rows_train, kernel_type)
         self._fit_kernel_type = kernel_type
         self._fit_svm_type = svm_type
         if svm_type == "c_svc":
@@ -301,23 +328,54 @@ class FastSK:
                 gram, np.asarray(self.train_labels)
             )
 
-    def _test_gram(self) -> np.ndarray:
-        """Test-vs-train Gram matrix under the fitted kernel_type."""
-        k = self._require_kernel()
-        ntr = self.n_str_train
-        rows_train = k[:ntr, :ntr]
-        rows_test = k[ntr:, :ntr]
-        kt = self._fit_kernel_type
-        if kt == "fastsk":
-            return rows_test
-        if kt == "linear":
-            return rows_test @ rows_train.T
-        gamma = 1.0 / max(self.nfeat, 1)  # rbf, gamma=1/nfeat (fastsk.cpp:273)
-        sq_tr = np.sum(rows_train**2, axis=1)
-        sq_te = np.sum(rows_test**2, axis=1)
-        return np.exp(
-            -gamma * (sq_te[:, None] + sq_tr[None, :] - 2 * rows_test @ rows_train.T)
+    def _build_gram(self, rows_a, rows_train, kernel_type: str):
+        """Gram of ``rows_a`` against ``rows_train`` under ``kernel_type``.
+
+        Rows are normalized-kernel rows: np float64 on the host path, jax
+        f32 on the device-resident path — device Grams are built on device
+        (the EKM ``rows @ rows.T`` runs on the MXU at HIGHEST precision)
+        so fit/score never pull the O(N^2) matrices.
+        """
+        if kernel_type == "fastsk":
+            return rows_a
+        import jax
+        import jax.numpy as jnp
+
+        on_dev = isinstance(rows_a, jax.Array)
+        if on_dev:
+            xp = jnp
+
+            def dot(a, b):
+                return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+        else:
+            xp = np
+
+            def dot(a, b):
+                return a @ b
+
+        if kernel_type == "linear":
+            return dot(rows_a, rows_train.T)
+        # rbf, gamma = 1/nfeat (fastsk.cpp:273)
+        gamma = 1.0 / max(self.nfeat, 1)
+        sq_a = xp.sum(rows_a**2, axis=1)
+        sq_t = xp.sum(rows_train**2, axis=1)
+        return xp.exp(
+            -gamma * (sq_a[:, None] + sq_t[None, :] - 2 * dot(rows_a, rows_train.T))
         )
+
+    def _test_gram(self) -> np.ndarray:
+        """Test-vs-train Gram matrix under the fitted kernel_type (on
+        device when the kernel is device-resident)."""
+        ntr = self.n_str_train
+        if self._K_dev is not None:
+            rows_train = self._K_dev[:ntr, :ntr]
+            rows_test = self._K_dev[ntr:, :ntr]
+        else:
+            k = self._require_kernel()
+            rows_train = k[:ntr, :ntr]
+            rows_test = k[ntr:, :ntr]
+        return self._build_gram(rows_test, rows_train, self._fit_kernel_type)
 
     def score(self, metric: str = "auc") -> float:
         """Predict on the test block and report accuracy or AUROC

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="periodically checkpoint kernel computation; resumes if present")
     ap.add_argument("--checkpoint-every", type=int, default=512,
                     help="thetas between checkpoints")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="keep the kernel on device end to end (fit/score "
+                         "without the O(N^2) device->host pull; implies no "
+                         "checkpointing)")
     ap.add_argument("--no-svm", action="store_true", help="kernel computation only")
     ap.add_argument("--json", action="store_true", help="emit one JSON line of results")
     ap.add_argument("train_file")
@@ -80,9 +84,14 @@ def main(argv=None) -> int:
     Xtrain, Ytrain = reader.read_data(args.train_file)
     Xtest, Ytest = (reader.read_data(args.test_file) if args.test_file else ([], []))
 
+    if args.device_resident and args.checkpoint:
+        print("--device-resident is incompatible with --checkpoint",
+              file=sys.stderr)
+        return 2
     config = KernelConfig(
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        device_resident=args.device_resident,
     )
     fsk = FastSK(
         g=args.g,

@@ -62,6 +62,14 @@ class KernelConfig:
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 512
 
+    # Keep kernel counts resident on device (kernel/device_counts.py):
+    # fit/score then run end to end on device and the O(N^2) host pull —
+    # the dominant cost of a kernel+SVM workflow through the remote
+    # tunnel — happens only if the host matrix is explicitly accessed.
+    # Single-device engines only; mesh and checkpointed runs use the
+    # host-accumulating paths regardless.
+    device_resident: bool = False
+
     # Write a jax.profiler device trace of kernel computation here.
     profile_dir: Optional[str] = None
 

@@ -207,6 +207,59 @@ class DenseGkmEngine:
         host_acc += np.asarray(k_acc, dtype=np.int64)
         return host_acc
 
+    def _sum_thetas_device(self, thetas: np.ndarray):
+        """Exact integer sum of K_theta, kept resident on device.
+
+        Same batching/spill cadence as ``_sum_thetas``, but spills carry
+        completed 2**30-units into a second on-device int32 accumulator
+        (kernel/device_counts.py) instead of pulling to a host int64 —
+        exact below 2**61 total counts, with no O(N^2) transfer.
+        Single-device, non-checkpointed runs only.
+        """
+        from .device_counts import DeviceCounts, _carry_spill
+
+        if self.mesh is not None:
+            raise ValueError("device-resident accumulation is single-device")
+        if self.config.checkpoint_path is not None:
+            raise ValueError(
+                "device-resident accumulation does not checkpoint; "
+                "use the host path for checkpointed runs"
+            )
+        n = self.n
+        lo = jnp.zeros((n, n), dtype=jnp.int32)
+        hi = jnp.zeros((n, n), dtype=jnp.int32)
+        if self.config.device is not None:
+            lo = jax.device_put(lo, self.config.device)
+            hi = jax.device_put(hi, self.config.device)
+        kwargs = self._static_kwargs()
+        spilled = False
+        since_spill = 0
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(self.theta_batch, total - i)
+            batch = jnp.asarray(thetas[i : i + t], dtype=jnp.int32)
+            lo = gkm.exact_batch_update(
+                lo, self._ids, self._lengths, batch, **kwargs
+            )
+            i += t
+            since_spill += t
+            if since_spill >= self.spill_every_thetas and i < total:
+                lo, hi = _carry_spill(lo, hi)
+                spilled = True
+                since_spill = 0
+        return DeviceCounts(lo, hi if spilled else None)
+
+    def exact_device(self):
+        """Exact unnormalized kernel as device-resident ``DeviceCounts``."""
+        thetas = enumerate_combinations(self.g, self.k)
+        self.progress.log(
+            f"dense exact (device-resident): {len(thetas)} passes over "
+            f"{self.n} sequences"
+        )
+        with profiler_trace(self.config.profile_dir):
+            return self._sum_thetas_device(thetas)
+
     def _sum_thetas_sharded(self, thetas: np.ndarray) -> np.ndarray:
         """Mesh-parallel exact sum: rows x theta sharding, psum merge.
 
@@ -296,6 +349,7 @@ class DenseGkmEngine:
         max_iters: int = -1,
         skip_variance: bool = False,
         seed: int = 0,
+        device_out: bool = False,
     ) -> ApproxResult:
         """Monte-Carlo sampling of position subsets without replacement.
 
@@ -306,7 +360,17 @@ class DenseGkmEngine:
         ``skip_variance`` just accumulate raw counts for ``max_iters``
         samples. Deterministic given ``seed`` (the reference seeds with
         time(0) — reproducibility here is intentional).
+
+        ``device_out`` returns the counts as device-resident
+        ``DeviceCounts`` instead of pulling the O(N^2) matrix to the host
+        (single-device, non-checkpointed runs only).
         """
+        if device_out and (
+            self.mesh is not None or self.config.checkpoint_path is not None
+        ):
+            raise ValueError(
+                "device_out requires a single device without checkpointing"
+            )
         rng = np.random.default_rng(seed)
         all_thetas = enumerate_combinations(self.g, self.k)
         order = rng.permutation(len(all_thetas))
@@ -315,7 +379,10 @@ class DenseGkmEngine:
 
         if skip_variance:
             limit = total if max_iters == -1 else min(max_iters, total)
-            counts = self._sum_thetas(stream[:limit])
+            if device_out:
+                counts = self._sum_thetas_device(stream[:limit])
+            else:
+                counts = self._sum_thetas(stream[:limit])
             return ApproxResult(
                 counts=counts, iters=limit, stdevs=[], converged=False
             )
@@ -398,7 +465,14 @@ class DenseGkmEngine:
             f"approx: {'converged' if bool(done_flag) else 'stopped'} after "
             f"{iters} iterations"
         )
-        if self.mesh is not None:
+        if device_out:
+            from .device_counts import DeviceCounts
+
+            # the variance-tracked loop accumulates k_sum in int32 on
+            # device with no spill (same bound as the host path), so lo
+            # alone is exact here
+            counts = DeviceCounts(k_sum)
+        elif self.mesh is not None:
             from ..parallel import sharding as shd
 
             counts = shd.host_gather(k_sum)[: self.n, : self.n]

@@ -164,6 +164,49 @@ class PairsGkmEngine:
             ctx_p.__exit__(None, None, None)
         return out
 
+    def exact_device(self):
+        """Exact unnormalized kernel as device-resident ``DeviceCounts``
+        (kernel/device_counts.py): the block-upper triangle is computed
+        and mirrored on device, and no O(N^2) host transfer happens —
+        the fit/score path consumes the counts where they are.
+
+        Per-pair totals are int32-exact by the constructor guard
+        (p_pad**2 * C(g,k) < 2**31), so ``lo`` alone carries the counts.
+        """
+        from .device_counts import DeviceCounts
+
+        if self.mesh is not None:
+            raise ValueError("device-resident exact is single-device")
+        x = self._build_x()
+        if self.backend == "pallas":
+            upper = self._pallas_upper_device(x)
+        else:
+            upper = self._exact_xla_device(x)
+        full = jnp.triu(upper) + jnp.triu(upper, 1).T
+        return DeviceCounts(full[: self.n, : self.n])
+
+    def _pallas_upper_device(self, x, interpret: bool = False) -> jnp.ndarray:
+        """Block-upper triangle assembled on device (banded kernel calls,
+        same launches as ``_exact_pallas`` minus the byte-plane pulls)."""
+        from ..ops import pairs_pallas
+
+        n_i = self.n_pad // self.c_i
+        band = max(1, -(-n_i // 12))
+        kwargs = dict(
+            g=self.g, k=self.k, p_pad=self.p_pad,
+            c_ti=self.c_i, c_tj=self.c_j, interpret=interpret,
+        )
+        rows = []
+        for i0 in range(0, n_i, band):
+            nb = min(band, n_i - i0)
+            blocks = pairs_pallas.pairs_kernel_blocks(
+                x, jnp.int32(i0), n_i_band=nb, **kwargs
+            )
+            rows.append(
+                blocks.transpose(0, 2, 1, 3).reshape(nb * self.c_i, self.n_pad)
+            )
+        return jnp.concatenate(rows, axis=0)
+
     # streaming threshold: matrices under this skip the byte-plane tile
     # machinery (transfer isn't their bottleneck; fewer compilations) —
     # an attribute so tests can force the streaming path on tiny inputs
@@ -308,6 +351,9 @@ class PairsGkmEngine:
         return upper
 
     def _exact_xla(self, x) -> np.ndarray:
+        return np.asarray(self._exact_xla_device(x), dtype=np.int64)
+
+    def _exact_xla_device(self, x) -> jnp.ndarray:
         k_acc = jnp.zeros((self.n_pad, self.n_pad), dtype=jnp.int32)
         if self.config.device is not None:
             k_acc = jax.device_put(k_acc, self.config.device)
@@ -322,7 +368,7 @@ class PairsGkmEngine:
                 p_pad=self.p_pad,
                 n_strips_j=self.n_strips_j,
             )
-        return np.asarray(k_acc, dtype=np.int64)
+        return k_acc
 
 
 from ..ops import pairs_packed as _pairs_packed

@@ -35,6 +35,24 @@ _NEG_INF = -1e30
 _TAU = 1e-12
 
 
+def _gram_f32(gram):
+    """Accept a host or device Gram without forcing a transfer: device
+    Grams (the device-resident kernel path, kernel/device_counts.py) stay
+    on device for the jitted solvers; host arrays keep the numpy path."""
+    if isinstance(gram, jax.Array):
+        return gram.astype(jnp.float32)
+    return np.asarray(gram, dtype=np.float32)
+
+
+def _decision_values(gram_rows, coef: np.ndarray, rho: float) -> np.ndarray:
+    """``gram_rows @ coef - rho`` pulling only the O(n) result: device rows
+    dot on device in f32; host rows keep the f64 numpy path."""
+    if isinstance(gram_rows, jax.Array):
+        d = gram_rows.astype(jnp.float32) @ jnp.asarray(coef, dtype=jnp.float32)
+        return np.asarray(d, dtype=np.float64) - rho
+    return np.asarray(gram_rows, np.float64) @ coef - rho
+
+
 def _snap_bounds(alpha: jnp.ndarray, C_vec: jnp.ndarray) -> jnp.ndarray:
     """Clamp alphas within 1e-6*C of a bound exactly onto it (f32 pair
     updates leave machine-epsilon residues where LIBSVM's doubles are
@@ -156,7 +174,7 @@ class KernelSVC:
     cv_folds: int = 5
 
     def fit(self, gram: np.ndarray, y) -> "KernelSVC":
-        gram = np.asarray(gram, dtype=np.float32)
+        gram = _gram_f32(gram)
         y = np.asarray(y)
         classes = np.unique(y)
         if len(classes) < 2:
@@ -237,7 +255,7 @@ class KernelSVC:
         decisions in LIBSVM pair order."""
         if getattr(self, "_ovo", None) is not None:
             return self._ovo.decision_function(gram_rows)
-        return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
+        return _decision_values(gram_rows, self.alpha_y_, self.rho_)
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
         if getattr(self, "_ovo", None) is not None:
@@ -326,6 +344,8 @@ class EpsilonSVR:
     max_iter: int = 10_000_000
 
     def fit(self, gram: np.ndarray, y) -> "EpsilonSVR":
+        # the 2n x 2n SVR problem is assembled host-side; device Grams
+        # are pulled here (regression sets are small)
         gram = np.asarray(gram, dtype=np.float32)
         y = np.asarray(y, dtype=np.float32)
         n = len(y)
@@ -349,7 +369,7 @@ class EpsilonSVR:
         return self
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
-        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+        return _decision_values(gram_rows, self.coef_, self.rho_)
 
     def score(self, gram_rows, y) -> float:
         from ..metrics import r2_score
@@ -391,7 +411,7 @@ class OneClassSVM:
         return self
 
     def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
-        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+        return _decision_values(gram_rows, self.coef_, self.rho_)
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
         return np.where(self.decision_function(gram_rows) > 0, 1, -1)
@@ -503,7 +523,7 @@ class NuSVC:
     cv_folds: int = 5
 
     def fit(self, gram: np.ndarray, y) -> "NuSVC":
-        gram = np.asarray(gram, dtype=np.float32)
+        gram = _gram_f32(gram)
         y = np.asarray(y)
         classes = np.unique(y)
         if len(classes) < 2:
@@ -528,7 +548,7 @@ class NuSVC:
             ys01 = np.where(y == classes[1], 1.0, -1.0)
             self.platt_ = platt_cv_binary(
                 lambda: NuSVC(nu=self.nu, eps=self.eps, max_iter=self.max_iter),
-                np.asarray(gram, np.float64),
+                gram if isinstance(gram, jax.Array) else np.asarray(gram, np.float64),
                 ys01,
                 self.cv_folds,
             )
@@ -571,7 +591,7 @@ class NuSVC:
     def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
         if getattr(self, "_ovo", None) is not None:
             return self._ovo.decision_function(gram_rows)
-        return np.asarray(gram_rows, np.float64) @ self.alpha_y_ - self.rho_
+        return _decision_values(gram_rows, self.alpha_y_, self.rho_)
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
         if getattr(self, "_ovo", None) is not None:
@@ -632,7 +652,7 @@ class NuSVR:
         return self
 
     def predict(self, gram_rows: np.ndarray) -> np.ndarray:
-        return np.asarray(gram_rows, np.float64) @ self.coef_ - self.rho_
+        return _decision_values(gram_rows, self.coef_, self.rho_)
 
     def score(self, gram_rows, y) -> float:
         from ..metrics import r2_score

@@ -14,10 +14,20 @@ from __future__ import annotations
 
 from typing import Callable, List, Sequence
 
+import jax
 import numpy as np
 
 from .linear import stratified_kfold_indices
 from .platt import sigmoid_predict, sigmoid_train
+
+
+def _as_host_or_device(gram, dtype=np.float64):
+    """Device Grams (kernel/device_counts.py) pass through untouched — the
+    np.ix_/column gathers below compile to device gathers and the binary
+    solvers are device-aware; host inputs are coerced to numpy."""
+    if isinstance(gram, jax.Array):
+        return gram
+    return np.asarray(gram, dtype=dtype)
 
 
 def group_labels(y: Sequence) -> List:
@@ -109,7 +119,7 @@ class OneVsOneSVC:
         self.cv_folds = cv_folds
 
     def fit(self, gram: np.ndarray, y) -> "OneVsOneSVC":
-        gram = np.asarray(gram, dtype=np.float64)
+        gram = _as_host_or_device(gram)
         y = np.asarray(y)
         self.classes_ = group_labels(y)
         nc = len(self.classes_)
@@ -147,7 +157,7 @@ class OneVsOneSVC:
     def decision_function(self, gram_rows: np.ndarray) -> np.ndarray:
         """Per-pair decision values ``[n, C(nc, 2)]`` in LIBSVM pair
         order ((0,1), (0,2), ..., (1,2), ...)."""
-        gram_rows = np.asarray(gram_rows, dtype=np.float64)
+        gram_rows = _as_host_or_device(gram_rows)
         cols = [
             m.decision_function(gram_rows[:, idx])
             for m, idx in zip(self.models_, self.pair_idx_)

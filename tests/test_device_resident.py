@@ -1,0 +1,259 @@
+"""Device-resident kernel path (kernel/device_counts.py).
+
+The host path pulls the O(N^2) count matrix after computation; the
+device-resident path keeps counts on device and runs fit/score there.
+These tests pin the contract: pulled device counts are bit-identical to
+the host path, fit/score results agree, and the lazy host
+materialization produces the exact f64 kernel on demand.
+"""
+
+import numpy as np
+import pytest
+
+from fastsk_tpu import FastSK
+from fastsk_tpu.kernel.config import KernelConfig
+from fastsk_tpu.kernel.device_counts import DeviceCounts, _carry_spill
+
+from conftest import random_ragged_seqs
+from test_integration import make_synthetic_motif_data
+
+
+def _uniform_seqs(rng, n, length, alphabet=4):
+    return [rng.integers(1, alphabet + 1, size=length).tolist() for _ in range(n)]
+
+
+# ------------------------------------------------------------------ unit
+
+
+def test_carry_spill_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2**31 - 1, size=(16, 16), dtype=np.int64)
+    import jax.numpy as jnp
+
+    lo, hi = _carry_spill(jnp.asarray(vals, jnp.int32), jnp.zeros((16, 16), jnp.int32))
+    dc = DeviceCounts(lo, hi)
+    np.testing.assert_array_equal(dc.to_host_int64(), vals)
+    assert int(np.asarray(lo).max()) < 2**30
+
+
+def test_device_counts_f32_and_normalize():
+    c = np.array([[4, 2], [2, 9]], dtype=np.int64)
+    import jax.numpy as jnp
+
+    dc = DeviceCounts(jnp.asarray(c, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(dc.to_f32()), c.astype(np.float32))
+    k = np.asarray(dc.normalized_f32(), dtype=np.float64)
+    expect = c / np.sqrt(np.outer(np.diag(c), np.diag(c)))
+    np.testing.assert_allclose(k, expect, rtol=1e-6)
+
+
+# ------------------------------------------------- engine equivalence
+
+
+@pytest.mark.parametrize("exact_engine", ["pairs", "packed", "theta"])
+def test_exact_device_counts_match_host(rng, exact_engine):
+    X = _uniform_seqs(rng, 24, 24)
+    cfg_host = KernelConfig(exact_engine=exact_engine)
+    cfg_dev = KernelConfig(exact_engine=exact_engine, device_resident=True)
+    a = FastSK(g=6, m=2, config=cfg_host)
+    a.compute_train(X)
+    b = FastSK(g=6, m=2, config=cfg_dev)
+    b.compute_train(X)
+    np.testing.assert_array_equal(b.kernel_counts, a.kernel_counts)
+    np.testing.assert_allclose(b.kernel, a.kernel, rtol=0, atol=0)
+
+
+def test_exact_device_ragged_falls_back_cleanly(rng):
+    # ragged data routes to the packed engine; device-resident must
+    # still produce correct results (either on device or via fallback)
+    X = random_ragged_seqs(rng, 20, 15, 40, 4)
+    a = FastSK(g=6, m=2)
+    a.compute_train(X)
+    b = FastSK(g=6, m=2, config=KernelConfig(device_resident=True))
+    b.compute_train(X)
+    np.testing.assert_array_equal(b.kernel_counts, a.kernel_counts)
+
+
+def test_approx_device_counts_match_host(rng):
+    X = _uniform_seqs(rng, 20, 30)
+    for kwargs in (
+        dict(max_iters=10, skip_variance=True),
+        dict(delta=0.05),
+    ):
+        a = FastSK(g=8, m=3, approx=True, seed=7, **kwargs)
+        a.compute_train(X)
+        b = FastSK(
+            g=8, m=3, approx=True, seed=7,
+            config=KernelConfig(device_resident=True), **kwargs,
+        )
+        b.compute_train(X)
+        assert b.iterations == a.iterations
+        np.testing.assert_array_equal(b.kernel_counts, a.kernel_counts)
+        assert b.get_stdevs() == pytest.approx(a.get_stdevs())
+
+
+def test_device_spill_path_exact(rng):
+    """Force carry spills by shrinking the spill cadence: totals must
+    still be exact (hi/lo recombination)."""
+    from fastsk_tpu.kernel.engine import DenseGkmEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = _uniform_seqs(rng, 12, 20)
+    enc = encode_sequences(X, None)
+    host_engine = DenseGkmEngine(enc, 6, 2, KernelConfig(theta_batch=3))
+    expect = host_engine.exact()
+
+    dev_engine = DenseGkmEngine(enc, 6, 2, KernelConfig(theta_batch=3))
+    dev_engine.spill_every_thetas = 3  # spill after every batch
+    got = dev_engine.exact_device()
+    assert got.hi is not None  # the spill path actually ran
+    np.testing.assert_array_equal(got.to_host_int64(), expect)
+
+
+# ------------------------------------------------------- fit / score
+
+
+def test_fit_score_device_vs_host(rng):
+    Xtr, Ytr = make_synthetic_motif_data(rng, 30, 30)
+    Xte, Yte = make_synthetic_motif_data(rng, 10, 30)
+    results = {}
+    for name, cfg in (
+        ("host", KernelConfig()),
+        ("dev", KernelConfig(device_resident=True)),
+    ):
+        f = FastSK(g=8, m=2, config=cfg)
+        f.compute_kernel(Xtr, Xte, Ytr, Yte)
+        for kt in ("fastsk", "linear", "rbf"):
+            f.fit(C=1.0, kernel_type=kt)
+            results[(name, kt, "auc")] = f.score("auc")
+            results[(name, kt, "acc")] = f.score("accuracy")
+    for kt in ("fastsk", "linear", "rbf"):
+        assert results[("dev", kt, "auc")] == pytest.approx(
+            results[("host", kt, "auc")], abs=5e-3
+        )
+        assert results[("dev", kt, "acc")] == pytest.approx(
+            results[("host", kt, "acc")], abs=5.0 + 1e-9
+        )
+
+
+def test_fit_device_decision_values_close(rng):
+    """Binary C-SVC decision values agree with the host path to f32
+    tolerance (same solver, same f32 gram up to one normalize rounding)."""
+    Xtr, Ytr = make_synthetic_motif_data(rng, 25, 25)
+    Xte, Yte = make_synthetic_motif_data(rng, 8, 25)
+    dec = {}
+    for name, cfg in (
+        ("host", KernelConfig()),
+        ("dev", KernelConfig(device_resident=True)),
+    ):
+        f = FastSK(g=7, m=2, config=cfg)
+        f.compute_kernel(Xtr, Xte, Ytr, Yte)
+        f.fit(C=1.0, kernel_type="fastsk")
+        dec[name] = f._model.decision_function(f._test_gram())
+    np.testing.assert_allclose(dec["dev"], dec["host"], rtol=2e-3, atol=2e-4)
+
+
+def test_multiclass_ovo_device(rng):
+    """OvO multiclass consumes a device gram without pulling it."""
+    X, Y = [], []
+    motif_rng = np.random.default_rng(3)
+    motifs = [motif_rng.integers(1, 5, size=6) for _ in range(3)]
+    for label in range(3):
+        for _ in range(20):
+            s = rng.integers(1, 5, size=28)
+            pos = rng.integers(0, 22)
+            s[pos : pos + 6] = motifs[label]
+            X.append(s.tolist())
+            Y.append(label)
+    Xte, Yte = X[::5], Y[::5]
+    preds = {}
+    for name, cfg in (
+        ("host", KernelConfig()),
+        ("dev", KernelConfig(device_resident=True)),
+    ):
+        f = FastSK(g=6, m=1, config=cfg)
+        f.compute_kernel(X, Xte, Y, Yte)
+        f.fit(C=1.0, kernel_type="fastsk")
+        preds[name] = f.score("accuracy")
+    assert preds["dev"] == pytest.approx(preds["host"], abs=5.0 + 1e-9)
+
+
+def test_nu_svc_device(rng):
+    Xtr, Ytr = make_synthetic_motif_data(rng, 20, 25)
+    Xte, Yte = make_synthetic_motif_data(rng, 8, 25)
+    out = {}
+    for name, cfg in (
+        ("host", KernelConfig()),
+        ("dev", KernelConfig(device_resident=True)),
+    ):
+        f = FastSK(g=7, m=2, config=cfg)
+        f.compute_kernel(Xtr, Xte, Ytr, Yte)
+        f.fit(nu=0.3, kernel_type="fastsk", svm_type="nu_svc")
+        out[name] = f.score("auc")
+    assert out["dev"] == pytest.approx(out["host"], abs=5e-3)
+
+
+# ------------------------------------------------------- access rules
+
+
+def test_lazy_host_materialization(rng):
+    X = _uniform_seqs(rng, 16, 20)
+    f = FastSK(g=6, m=2, config=KernelConfig(device_resident=True))
+    f.compute_train(X)
+    assert f._K is None and f._counts is None  # nothing pulled yet
+    assert f._counts_dev is not None
+    k = f.kernel  # explicit access materializes
+    assert f._K is not None
+    host = FastSK(g=6, m=2)
+    host.compute_train(X)
+    np.testing.assert_allclose(k, host.kernel, rtol=0, atol=0)
+
+
+def test_device_resident_save_kernel_roundtrip(rng, tmp_path):
+    X = _uniform_seqs(rng, 10, 18)
+    f = FastSK(g=5, m=1, config=KernelConfig(device_resident=True))
+    f.compute_train(X)
+    path = str(tmp_path / "k.npz")
+    f.save_kernel(path)
+    with np.load(path) as z:
+        host = FastSK(g=5, m=1)
+        host.compute_train(X)
+        np.testing.assert_allclose(z["kernel"], host.kernel)
+        np.testing.assert_array_equal(z["counts"], host.kernel_counts)
+
+
+def test_device_resident_rejects_checkpoint(rng, tmp_path):
+    X = _uniform_seqs(rng, 10, 18)
+    cfg = KernelConfig(
+        device_resident=True, checkpoint_path=str(tmp_path / "ck")
+    )
+    f = FastSK(g=5, m=1, config=cfg)
+    f.compute_train(X)  # silently uses the host (checkpointable) path
+    assert f._counts_dev is None and f._counts is not None
+
+
+def test_cli_device_resident_flag(tmp_path):
+    from fastsk_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    Xtr, Ytr = make_synthetic_motif_data(rng, 12, 22)
+    Xte, Yte = make_synthetic_motif_data(rng, 6, 22)
+
+    def write_fasta(path, X, Y):
+        with open(path, "w") as fh:
+            alpha = "ACGT"
+            for s, y in zip(X, Y):
+                fh.write(f">{y}\n")
+                fh.write("".join(alpha[v - 1] for v in s) + "\n")
+
+    tr = str(tmp_path / "t.train.fasta")
+    te = str(tmp_path / "t.test.fasta")
+    write_fasta(tr, Xtr, Ytr)
+    write_fasta(te, Xte, Yte)
+    rc = main(["-g", "6", "-m", "2", "--device-resident", "-q", tr, te])
+    assert rc == 0
+    rc = main([
+        "-g", "6", "-m", "2", "--device-resident",
+        "--checkpoint", str(tmp_path / "ck"), "-q", tr, te,
+    ])
+    assert rc == 2

@@ -526,54 +526,107 @@ class PackedPairsEngine:
             )
             if self.mesh is not None:
                 k_sorted = self._exact_sharded_planes(x, n_pad)
-            elif self.backend == "pallas":
-                k_sorted = self._exact_pairlist(x, n_pad)
             else:
-                planes = tuple(
-                    jnp.zeros((n_pad, n_pad), jnp.int32)
-                    for _ in range(self.n_digits)
-                )
-                if self.backend == "pallas_grouped":
-                    gb_all = _build_gb_all_jit(
-                        self._seq_of, self._first_seq,
-                        tile=self.tile, c_pad=self.c_pad,
-                    )
-                    for a in range(self.n_strips):
-                        planes = pairs_packed.packed_strip_update_grouped(
-                            planes, x, self._seq_of, gb_all,
-                            self._first_seq, jnp.int32(a),
-                            g=self.g, k=self.k, tile=self.tile,
-                            c_pad=self.c_pad, n_strips=self.n_strips,
-                            n_digits=self.n_digits,
-                            digit_base=self.digit_base,
-                            group=self.group, interpret=self.interpret,
-                        )
-                else:
-                    for a in range(self.n_strips):
-                        planes = pairs_packed.packed_strip_update(
-                            planes,
-                            x,
-                            self._seq_of,
-                            self._first_seq,
-                            self._bounds,
-                            jnp.int32(a),
-                            g=self.g,
-                            k=self.k,
-                            tile=self.tile,
-                            c_max=self.c_max,
-                            n_strips=self.n_strips,
-                            n_digits=self.n_digits,
-                            digit_base=self.digit_base,
-                            backend="xla",
-                            interpret=False,
-                        )
-                k_sorted = self._planes_to_host(planes)
+                k_sorted = self._planes_to_host(self._compute_planes(x, n_pad))
         # undo the length sort
         pos = np.empty(self.n, dtype=np.int64)
         pos[self.order] = np.arange(self.n)
         return k_sorted[np.ix_(pos, pos)].astype(np.int64, copy=False)
 
-    def _exact_pairlist(self, x, n_pad: int) -> np.ndarray:
+    def _compute_planes(self, x, n_pad: int):
+        """Digit planes for the single-device backends (pallas pair-list
+        sweep / grouped fused strips / blocked XLA strips)."""
+        from ..ops import pairs_packed
+
+        if self.backend == "pallas":
+            return self._pairlist_planes(x, n_pad)
+        planes = tuple(
+            jnp.zeros((n_pad, n_pad), jnp.int32)
+            for _ in range(self.n_digits)
+        )
+        if self.backend == "pallas_grouped":
+            gb_all = _build_gb_all_jit(
+                self._seq_of, self._first_seq,
+                tile=self.tile, c_pad=self.c_pad,
+            )
+            for a in range(self.n_strips):
+                planes = pairs_packed.packed_strip_update_grouped(
+                    planes, x, self._seq_of, gb_all,
+                    self._first_seq, jnp.int32(a),
+                    g=self.g, k=self.k, tile=self.tile,
+                    c_pad=self.c_pad, n_strips=self.n_strips,
+                    n_digits=self.n_digits,
+                    digit_base=self.digit_base,
+                    group=self.group, interpret=self.interpret,
+                )
+        else:
+            for a in range(self.n_strips):
+                planes = pairs_packed.packed_strip_update(
+                    planes,
+                    x,
+                    self._seq_of,
+                    self._first_seq,
+                    self._bounds,
+                    jnp.int32(a),
+                    g=self.g,
+                    k=self.k,
+                    tile=self.tile,
+                    c_max=self.c_max,
+                    n_strips=self.n_strips,
+                    n_digits=self.n_digits,
+                    digit_base=self.digit_base,
+                    backend="xla",
+                    interpret=False,
+                )
+        return planes
+
+    def exact_device(self):
+        """Exact unnormalized kernel as device-resident ``DeviceCounts``
+        (kernel/device_counts.py), skipping the digit-plane transfer
+        machinery entirely: planes combine to one int32 matrix on device,
+        the upper triangle mirrors on device, and the length-sort
+        un-permutation is a device gather.
+
+        The int32 combination needs the runtime plane-max bound
+        ``sum(max_d * base^d) < 2^31`` (holds on all real data —
+        see ``_planes_to_host``); pathological inputs fall back to the
+        exact host per-plane int64 combination and return a numpy array,
+        which callers must accept (FastSK._compute handles both).
+        """
+        from ..ops import pairs_packed
+        from .device_counts import DeviceCounts
+
+        if self.mesh is not None:
+            raise ValueError("device-resident exact is single-device")
+        n_pad = self.n + self.c_pad
+        x = _build_packed_x_jit(
+            self._ids, self._seq_of, self._win_of,
+            g=self.g, alpha=self.alpha, code_min=self.code_min,
+            dtype=jnp.int8 if self.backend == "pallas" else jnp.bfloat16,
+        )
+        planes = self._compute_planes(x, n_pad)
+        pos = np.empty(self.n, dtype=np.int64)
+        pos[self.order] = np.arange(self.n)
+        maxes = np.asarray(pairs_packed.plane_maxes(tuple(planes)))
+        bound = sum(
+            int(mx) * self.digit_base**d for d, mx in enumerate(maxes)
+        )
+        if bound >= 2**31:
+            k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+            for dig in range(self.n_digits):
+                k_sorted += (self.digit_base**dig) * np.asarray(
+                    planes[dig], dtype=np.int64
+                )[: self.n, : self.n]
+            return k_sorted[np.ix_(pos, pos)]
+        k32 = pairs_packed.combine_planes_int32(
+            tuple(planes), digit_base=self.digit_base
+        )
+        full = jnp.triu(k32) + jnp.triu(k32, 1).T
+        full = full[: self.n, : self.n]
+        full = jnp.take(jnp.take(full, pos, axis=0), pos, axis=1)
+        return DeviceCounts(full)
+
+    def _pairlist_planes(self, x, n_pad: int):
         """Pair-list Pallas sweep: the upper-triangle strip pairs are
         processed in fixed-size slabs, each one fused Pallas dispatch +
         one scatter-add per digit plane (ops/pairs_packed.py:
@@ -624,7 +677,7 @@ class PackedPairsEngine:
                 n_digits=self.n_digits, digit_base=self.digit_base,
                 interpret=self.interpret,
             )
-        return self._planes_to_host(planes)
+        return planes
 
     def _planes_to_host(self, planes) -> np.ndarray:
         """Digit planes -> int64 [n, n] counts, transfer-optimized.

@@ -74,6 +74,21 @@ def test_exact_device_ragged_falls_back_cleanly(rng):
     np.testing.assert_array_equal(b.kernel_counts, a.kernel_counts)
 
 
+def test_packed_device_stays_on_device(rng):
+    """The packed engine's device path must return DeviceCounts (not the
+    pathological-bound host fallback) on normal data, and the int32
+    plane combination must match the host transfer path bit-for-bit."""
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = random_ragged_seqs(rng, 18, 12, 35, 4)
+    enc = encode_sequences(X, None)
+    eng = PackedPairsEngine(enc, 6, 2, KernelConfig())
+    got = eng.exact_device()
+    assert isinstance(got, DeviceCounts)
+    np.testing.assert_array_equal(got.to_host_int64(), eng.exact())
+
+
 def test_approx_device_counts_match_host(rng):
     X = _uniform_seqs(rng, 20, 30)
     for kwargs in (

@@ -410,6 +410,31 @@ class FastSK:
             raise ValueError("metric='r2' is for the SVR types")
         return accuracy_score(y_test, preds) * 100.0
 
+    def save_predictions(self, path: str) -> None:
+        """Write per-test-point ``label value`` lines — the reference's
+        auc_file.txt side effect (fastsk.cpp:447-476, 502), opt-in here
+        instead of unconditional. ``value`` is the positive-class
+        probability for binary classifiers, the predicted value for SVR
+        types, and the predicted class otherwise."""
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        if self.test_labels is None:
+            raise RuntimeError("test labels are required")
+        gram_test = self._test_gram()
+        svm_type = getattr(self, "_fit_svm_type", "c_svc")
+        if svm_type in ("epsilon_svr", "nu_svr"):
+            vals = self._model.predict(gram_test)
+        elif (
+            len(getattr(self._model, "classes_", [])) == 2
+            and getattr(self._model, "probability", False)
+        ):
+            vals = self._model.predict_proba(gram_test)[:, 1]
+        else:
+            vals = self._model.predict(gram_test)
+        with open(path, "w") as f:
+            for label, v in zip(np.asarray(self.test_labels), vals):
+                f.write(f"{label} {v}\n")
+
     def score_report(self) -> dict:
         """Full scoring report: acc, AUROC, TPR/TNR/FNR/FPR — everything
         the reference's score() prints (fastsk.cpp:508-529), as a dict."""

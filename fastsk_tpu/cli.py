@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "--model-format libsvm)")
     ap.add_argument("--model-format", default="npz", choices=["npz", "libsvm"],
                     help="model persistence format")
+    ap.add_argument("--save-predictions", metavar="PATH",
+                    help="write per-test-point 'label value' lines (the "
+                         "reference's auc_file.txt, opt-in)")
     ap.add_argument("--checkpoint", metavar="PATH",
                     help="periodically checkpoint kernel computation; resumes if present")
     ap.add_argument("--checkpoint-every", type=int, default=512,
@@ -140,6 +143,8 @@ def main(argv=None) -> int:
 
             save_svm_model(args.save_model, fsk._model,
                            fmt=args.model_format, svm_type=args.svm_type)
+        if args.save_predictions:
+            fsk.save_predictions(args.save_predictions)
 
     if args.json:
         print(json.dumps(results))

@@ -54,6 +54,46 @@ def test_cli_small_reference_files(capsys):
     assert rc == 0
 
 
+def test_cli_save_predictions(fasta_pair, tmp_path, capsys):
+    """--save-predictions writes the reference's auc_file.txt content
+    (label + positive-class probability per test point, fastsk.cpp:447)."""
+    tr, te = fasta_pair
+    ppath = str(tmp_path / "preds.txt")
+    rc = cli_main(
+        ["-g", "6", "-m", "2", "-q", "--save-predictions", ppath, tr, te]
+    )
+    assert rc == 0
+    rows = [line.split() for line in open(ppath)]
+    n_test = sum(1 for line in open(te) if line.startswith(">"))
+    assert len(rows) == n_test
+    labels = {r[0] for r in rows}
+    assert labels <= {"-1", "0", "1"}
+    probs = np.array([float(r[1]) for r in rows])
+    assert ((probs >= 0) & (probs <= 1)).all()
+    # strong signal: probabilities separate the classes
+    y = np.array([int(r[0]) for r in rows])
+    assert probs[y == 1].mean() > probs[y != 1].mean()
+
+
+def test_save_predictions_regression(rng, tmp_path):
+    from test_integration import make_synthetic_motif_data
+
+    Xtr, _ = make_synthetic_motif_data(rng, 20, 24)
+    Xte, _ = make_synthetic_motif_data(rng, 8, 24)
+    ytr = rng.normal(size=len(Xtr))
+    yte = rng.normal(size=len(Xte))
+    f = FastSK(g=6, m=2)
+    f.compute_kernel(Xtr, Xte, ytr, yte)
+    f.fit(C=1.0, kernel_type="fastsk", svm_type="epsilon_svr")
+    p = str(tmp_path / "preds.txt")
+    f.save_predictions(p)
+    rows = [line.split() for line in open(p)]
+    assert len(rows) == len(Xte)
+    np.testing.assert_allclose(
+        [float(r[0]) for r in rows], yte, rtol=0, atol=1e-12
+    )
+
+
 def test_cli_save_kernel_roundtrip(fasta_pair, tmp_path, capsys):
     tr, te = fasta_pair
     kpath = str(tmp_path / "k.txt")

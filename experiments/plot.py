@@ -304,6 +304,49 @@ def plot_trainsize(path, out, fastsk_auc=None):
     fig.savefig(out, dpi=150)
 
 
+def plot_e2e(path, out):
+    """Host-pull vs device-resident end-to-end workflow phases
+    (run_e2e_device.py): stacked kernel/fit/score bars, steady reps."""
+    rows = _read(path)
+    last_rep = max(int(r["rep"]) for r in rows)
+    steady = {r["mode"]: r for r in rows if int(r["rep"]) == last_rep}
+    modes = [m for m in ("host", "device") if m in steady]
+    phases = [("kernel", "kernel_s"), ("fit", "fit_s"), ("score", "score_s")]
+    fig, ax = plt.subplots(figsize=(5.2, 2.6))
+    for yi, mode in enumerate(modes):
+        left = 0.0
+        for pi, (label, key) in enumerate(phases):
+            v = float(steady[mode][key])
+            ax.barh(
+                yi, v, left=left, color=_CAT[pi], height=0.55,
+                label=label if yi == 0 else None,
+            )
+            left += v
+        ax.annotate(
+            f" {left:.1f}s  (AUC {float(steady[mode]['auc']):.4f})",
+            (left, yi), va="center", fontsize=8,
+        )
+    ax.set_yticks(range(len(modes)))
+    ax.set_yticklabels(
+        ["host pull" if m == "host" else "device-resident" for m in modes],
+        fontsize=9,
+    )
+    ax.set_xlabel("steady end-to-end wall (s): kernel + fit + score")
+    if len(modes) == 2:
+        sp = float(steady["host"]["e2e_s"]) / max(
+            float(steady["device"]["e2e_s"]), 1e-9
+        )
+        ax.set_title(
+            os.path.basename(path).replace("_e2e.csv", "")
+            + f" — {sp:.1f}x end to end",
+            fontsize=9,
+        )
+    ax.margins(x=0.22)
+    ax.legend(fontsize=8, frameon=False, loc="upper right", ncols=3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 PLOTTERS = {
     "g_time": plot_g_time,
     "m_time": plot_m_time,
@@ -317,6 +360,7 @@ PLOTTERS = {
     "multiclass": plot_multiclass,
     "sorted_approx": plot_sorted_approx,
     "trainsize": plot_trainsize,
+    "e2e": plot_e2e,
 }
 
 

@@ -83,7 +83,7 @@ def main():
 
     out = args.out or (
         f"experiments/results_e2e/{args.dataset}_g{args.g}_m{args.m}"
-        f"_{'approx' if args.approx else 'exact'}_{args.kernel_type}.csv"
+        f"_{'approx' if args.approx else 'exact'}_{args.kernel_type}_e2e.csv"
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
 

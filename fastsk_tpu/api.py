@@ -120,7 +120,9 @@ class FastSK:
         self._counts_dev = None
         self._K_dev = None
         if self.approx:
-            dev_ok = use_dev and isinstance(engine, DenseGkmEngine)
+            dev_ok = use_dev and isinstance(
+                engine, (DenseGkmEngine, SortedGkmEngine)
+            )
             res: ApproxResult = engine.approx(
                 conv_delta=self.delta,
                 max_iters=self.max_iters,

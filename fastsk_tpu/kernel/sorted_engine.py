@@ -248,6 +248,55 @@ class SortedGkmEngine:
         # no-op rearrangement when tri_blocks was 0)
         return np.triu(host) + np.triu(host, 1).T
 
+    def _sum_stream_device(self, thetas: np.ndarray):
+        """Exact integer sum over a theta stream, device-resident
+        (kernel/device_counts.py): spills carry completed 2**30-units
+        into an on-device ``hi`` plane instead of pulling to host int64.
+        The existing spill margin (spill_every = acc_limit/bound/2, or
+        the adaptive device-max check) leaves exactly the < 2**30 lo
+        residue a carry spill retains, so the int32 invariant holds."""
+        from .device_counts import DeviceCounts, _carry_spill
+
+        if self.mesh is not None:
+            raise ValueError("device-resident accumulation is single-device")
+        lo = jnp.zeros((self.n, self.n), jnp.int32)
+        hi = jnp.zeros((self.n, self.n), jnp.int32)
+        spilled = False
+        since = 0
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(self.theta_batch, total - i)
+            if not self._adaptive_spill:
+                t = min(t, self.spill_every - since)
+            if t == self.theta_batch and t > 1:
+                lo = self._pass_batch_sum(lo, thetas[i : i + t])
+            else:
+                lo = lo + self._pass(thetas[i], tri=True)
+                t = 1
+            i += t
+            since += t
+            if self._adaptive_spill:
+                nxt = min(self.theta_batch, total - i)
+                spill = i < total and self._must_spill(lo, nxt)
+            else:
+                spill = since >= self.spill_every
+            if spill:
+                lo, hi = _carry_spill(lo, hi)
+                spilled = True
+                since = 0
+        # mirror the upper block triangle (mirroring lo and hi separately
+        # is exact: triu is linear and total = lo + 2^30 hi)
+        lo = jnp.triu(lo) + jnp.triu(lo, 1).T
+        if spilled:
+            hi = jnp.triu(hi) + jnp.triu(hi, 1).T
+        return DeviceCounts(lo, hi if spilled else None)
+
+    def exact_device(self):
+        """Exact unnormalized kernel as device-resident ``DeviceCounts``."""
+        thetas = enumerate_combinations(self.g, self.k)
+        return self._sum_stream_device(thetas)
+
     def _sum_stream_sharded(self, thetas: np.ndarray) -> np.ndarray:
         """Theta-sharded exact sum: each device runs whole batched passes
         into a private replica; the host sums replicas."""
@@ -316,7 +365,10 @@ class SortedGkmEngine:
         max_iters: int = -1,
         skip_variance: bool = False,
         seed: int = 0,
+        device_out: bool = False,
     ) -> ApproxResult:
+        if device_out and self.mesh is not None:
+            raise ValueError("device_out requires a single device")
         rng = np.random.default_rng(seed)
         all_thetas = enumerate_combinations(self.g, self.k)
         stream = all_thetas[rng.permutation(len(all_thetas))]
@@ -324,8 +376,11 @@ class SortedGkmEngine:
 
         if skip_variance:
             limit = total if max_iters == -1 else min(max_iters, total)
-            host = self._sum_stream(stream[:limit])
-            return ApproxResult(counts=host, iters=limit, stdevs=[], converged=False)
+            if device_out:
+                counts = self._sum_stream_device(stream[:limit])
+            else:
+                counts = self._sum_stream(stream[:limit])
+            return ApproxResult(counts=counts, iters=limit, stdevs=[], converged=False)
 
         n = self.n
         state = (
@@ -341,6 +396,8 @@ class SortedGkmEngine:
         # (overshot passes are no-ops under the done mask)
         bsz = max(self.theta_batch, 1)
         host64 = np.zeros((self.n, self.n), dtype=np.int64)
+        hi = jnp.zeros((n, n), jnp.int32)  # device carries (device_out)
+        spilled = False
         since = 0
         for start in range(0, total, bsz):
             batch = stream[start : start + bsz]
@@ -369,14 +426,26 @@ class SortedGkmEngine:
             else:
                 spill = since >= self.spill_every
             if spill:
-                host64 += np.asarray(state[0], dtype=np.int64)
-                state = (jnp.zeros_like(state[0]),) + state[1:]
+                if device_out:
+                    from .device_counts import _carry_spill
+
+                    new_lo, hi = _carry_spill(state[0], hi)
+                    state = (new_lo,) + state[1:]
+                    spilled = True
+                else:
+                    host64 += np.asarray(state[0], dtype=np.int64)
+                    state = (jnp.zeros_like(state[0]),) + state[1:]
                 since = 0
         stdevs = [
             float(s) for s in np.asarray(sd_buf) if not math.isnan(float(s))
         ]
         it_done = int(state[2])
-        counts = host64 + np.asarray(state[0], dtype=np.int64)
+        if device_out:
+            from .device_counts import DeviceCounts
+
+            counts = DeviceCounts(state[0], hi if spilled else None)
+        else:
+            counts = host64 + np.asarray(state[0], dtype=np.int64)
         return ApproxResult(
             counts=counts,
             iters=it_done,

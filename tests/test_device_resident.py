@@ -125,6 +125,58 @@ def test_device_spill_path_exact(rng):
     np.testing.assert_array_equal(got.to_host_int64(), expect)
 
 
+def test_sorted_engine_device_exact_and_approx(rng):
+    """Big-alphabet (sorted/rank) engine: device-resident exact and
+    approx (both welford and skip_variance) match the host path
+    bit-for-bit, including forced carry spills."""
+    from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = _uniform_seqs(rng, 14, 22, alphabet=24)
+    enc = encode_sequences(X, None)
+    cfg = KernelConfig(sorted_slab=128)
+    host_engine = SortedGkmEngine(enc, 7, 3, cfg)
+    expect = host_engine.exact()
+
+    dev_engine = SortedGkmEngine(enc, 7, 3, cfg)
+    got = dev_engine.exact_device()
+    np.testing.assert_array_equal(got.to_host_int64(), expect)
+
+    # force the carry-spill path (non-adaptive cadence of 2 thetas)
+    spill_engine = SortedGkmEngine(enc, 7, 3, cfg)
+    spill_engine._adaptive_spill = False
+    spill_engine.spill_every = 2
+    got2 = spill_engine.exact_device()
+    assert got2.hi is not None
+    np.testing.assert_array_equal(got2.to_host_int64(), expect)
+
+    # approx: welford-tracked and skip_variance streams
+    for kwargs in (dict(max_iters=6), dict(max_iters=6, skip_variance=True)):
+        ah = SortedGkmEngine(enc, 7, 3, cfg).approx(seed=3, **kwargs)
+        ad = SortedGkmEngine(enc, 7, 3, cfg).approx(
+            seed=3, device_out=True, **kwargs
+        )
+        assert ad.iters == ah.iters
+        np.testing.assert_array_equal(
+            ad.counts.to_host_int64(), ah.counts
+        )
+
+
+def test_sorted_engine_device_via_fastsk(rng):
+    """FastSK routes big-alphabet approx to the sorted engine; the
+    device-resident flag must keep it on device."""
+    X = _uniform_seqs(rng, 12, 20, alphabet=24)
+    a = FastSK(g=7, m=2, approx=True, max_iters=5)
+    a.compute_train(X)
+    b = FastSK(
+        g=7, m=2, approx=True, max_iters=5,
+        config=KernelConfig(device_resident=True),
+    )
+    b.compute_train(X)
+    assert b._counts_dev is not None
+    np.testing.assert_array_equal(b.kernel_counts, a.kernel_counts)
+
+
 # ------------------------------------------------------- fit / score
 
 

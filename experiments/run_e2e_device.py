@@ -78,8 +78,11 @@ def main():
     ap.add_argument("--kernel-type", default="linear",
                     choices=["linear", "fastsk", "rbf"])
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--modes", default="host,device",
+                    help="comma list of host,device")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     out = args.out or (
         f"experiments/results_e2e/{args.dataset}_g{args.g}_m{args.m}"
@@ -89,7 +92,7 @@ def main():
 
     rows = []
     for rep in range(args.reps):
-        for device_resident in (False, True):
+        for device_resident in (m == "device" for m in modes):
             r = run_once(args, device_resident)
             r["rep"] = rep
             log(f"{args.dataset} g={args.g} m={args.m} rep{rep} {r['mode']}: "

@@ -69,3 +69,41 @@ def test_streaming_transfer_on_device(rng):
     finally:
         transfer.CHUNK_BYTES = orig
     np.testing.assert_array_equal(K_o, K)
+
+
+def test_device_resident_on_device(rng):
+    """Device-resident counts on REAL hardware equal the numpy oracle bit
+    for bit across the pallas pairs, packed, and sorted engines, and
+    fit/score runs without materializing the host kernel."""
+    from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
+
+    # pallas pairs (uniform DNA)
+    X = [rng.integers(1, 6, size=120).tolist() for _ in range(100)]
+    K_o = oracle.exact_counts(X, 8, 4)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 8, 4, KernelConfig(pairs_backend="pallas")
+    )
+    assert eng.backend == "pallas"
+    np.testing.assert_array_equal(K_o, eng.exact_device().to_host_int64())
+
+    # packed (ragged protein)
+    Xp = random_ragged_seqs(rng, 24, 20, 200, alphabet=20)
+    K_o = oracle.exact_counts(Xp, 8, 4)
+    engp = PackedPairsEngine(encode_sequences(Xp), 8, 4, KernelConfig())
+    np.testing.assert_array_equal(K_o, engp.exact_device().to_host_int64())
+
+    # sorted (big alphabet)
+    Xs = random_ragged_seqs(rng, 15, 15, 40, alphabet=25)
+    engs = SortedGkmEngine(encode_sequences(Xs), 8, 2, KernelConfig())
+    np.testing.assert_array_equal(
+        oracle.exact_counts(Xs, 8, 2), engs.exact_device().to_host_int64()
+    )
+
+    # end-to-end fit/score without a host kernel pull
+    Y = [i % 2 for i in range(len(X))]
+    f = FastSK(g=8, m=4, config=KernelConfig(device_resident=True))
+    f.compute_kernel(X[:80], X[80:], Y[:80], Y[80:])
+    f.fit(C=1.0, kernel_type="fastsk")
+    acc = f.score("accuracy")
+    assert f._K is None and f._counts is None  # never pulled
+    assert 0.0 <= acc <= 100.0

@@ -38,6 +38,12 @@ def main() -> None:
         help="also report a build/exec/pull phase split per steady run "
              "(attributes wall to device compute vs host transfer)",
     )
+    ap.add_argument(
+        "--device-only", action="store_true",
+        help="benchmark the device-resident path (exact_device + a "
+             "4-byte pull): the wall a fit/score workflow pays, no "
+             "O(N^2) transfer — reports *_device_only_wall",
+    )
     args = ap.parse_args()
 
     import jax
@@ -73,19 +79,28 @@ def main() -> None:
     if args.phases:
         phase_split(engine, log)
 
+    if args.device_only:
+        run = lambda: engine.exact_device()  # noqa: E731
+        force = lambda dc: np.asarray(dc.lo[:1, :1])  # noqa: E731
+        suffix = "_device_only_wall"
+    else:
+        run = engine.exact
+        force = lambda k: k  # noqa: E731
+        suffix = "_exact_kernel_wall"
+
     # first call compiles; report the best of 3-8 steady-state runs
     # (each exact() rebuilds its device inputs, so remote-execution caches
     # cannot shortcut the measurement; best-of defends against transient
     # contention on shared devices)
     t0 = time.perf_counter()
-    counts = engine.exact()
+    counts = force(run())
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
     pairs = enc.n * (enc.n + 1) / 2 * total_passes
     walls = []
     t_loop = time.perf_counter()
     for r in range(8):
         t0 = time.perf_counter()
-        counts = engine.exact()
+        counts = force(run())
         walls.append(time.perf_counter() - t0)
         log(
             f"steady run: {walls[-1]:.2f} s "
@@ -110,7 +125,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{args.dataset}_g{g}_m{m}_exact_kernel_wall",
+                "metric": f"{args.dataset}_g{g}_m{m}{suffix}",
                 "value": round(wall, 2),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_S / wall, 1),

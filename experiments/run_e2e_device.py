@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    bad = [m for m in modes if m not in ("host", "device")]
+    if bad or not modes:
+        ap.error(f"--modes must list host/device; got {args.modes!r}")
 
     out = args.out or (
         f"experiments/results_e2e/{args.dataset}_g{args.g}_m{args.m}"

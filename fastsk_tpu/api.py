@@ -185,13 +185,10 @@ class FastSK:
 
     def _require_kernel(self) -> np.ndarray:
         if self._K is None:
-            if self._counts_dev is None:
-                raise RuntimeError("call compute_kernel or compute_train first")
             # device-resident run, host matrix explicitly requested:
             # materialize once (exact integer pull + f64 normalization,
             # identical to the host-path result)
-            self._counts = self._counts_dev.to_host_int64()
-            self._K = cosine_normalize(self._counts)
+            self._K = cosine_normalize(self.kernel_counts)
         return self._K
 
     @property
@@ -201,11 +198,13 @@ class FastSK:
 
     @property
     def kernel_counts(self) -> np.ndarray:
-        """Unnormalized integer count kernel, int64 [N, N]."""
+        """Unnormalized integer count kernel, int64 [N, N] (pulled from
+        the device lazily in device-resident mode, without paying the
+        f64 normalization the `kernel` property adds)."""
         if self._counts is None:
             if self._counts_dev is None:
                 raise RuntimeError("call compute_kernel or compute_train first")
-            self._require_kernel()
+            self._counts = self._counts_dev.to_host_int64()
         return self._counts
 
     def get_train_kernel(self) -> List[List[float]]:

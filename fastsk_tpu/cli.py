@@ -91,6 +91,10 @@ def main(argv=None) -> int:
         print("--device-resident is incompatible with --checkpoint",
               file=sys.stderr)
         return 2
+    if args.save_predictions and (args.no_svm or not args.test_file):
+        print("--save-predictions requires a test file and a fitted SVM "
+              "(drop --no-svm)", file=sys.stderr)
+        return 2
     config = KernelConfig(
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,

@@ -72,13 +72,6 @@ class DeviceCounts:
     def n(self) -> int:
         return self.lo.shape[0]
 
-    def crop(self, n: int) -> "DeviceCounts":
-        if n == self.n:
-            return self
-        return DeviceCounts(
-            self.lo[:n, :n], None if self.hi is None else self.hi[:n, :n]
-        )
-
     def to_f32(self) -> jnp.ndarray:
         if self.hi is None:
             return self.lo.astype(jnp.float32)

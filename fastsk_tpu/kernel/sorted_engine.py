@@ -265,11 +265,20 @@ class SortedGkmEngine:
         since = 0
         i = 0
         total = len(thetas)
+        # a carry spill leaves a < 2^30 residue in lo (the host path
+        # zeroes it), so every batch must fit the remaining headroom:
+        # residue + t * bound <= acc_limit. The adaptive batch_cap is
+        # acc_limit // bound (no margin), so cap t here; always >= 1
+        # because the engine admits p_max < 16384 => bound < 2^28.
+        t_cap = max(
+            1, (self._acc_limit - (1 << 30)) // self._per_theta_bound
+        )
+        tb = min(self.theta_batch, t_cap)
         while i < total:
-            t = min(self.theta_batch, total - i)
+            t = min(tb, total - i)
             if not self._adaptive_spill:
                 t = min(t, self.spill_every - since)
-            if t == self.theta_batch and t > 1:
+            if t == tb and t > 1:
                 lo = self._pass_batch_sum(lo, thetas[i : i + t])
             else:
                 lo = lo + self._pass(thetas[i], tri=True)
@@ -396,8 +405,19 @@ class SortedGkmEngine:
         # (overshot passes are no-ops under the done mask)
         bsz = max(self.theta_batch, 1)
         host64 = np.zeros((self.n, self.n), dtype=np.int64)
-        hi = jnp.zeros((n, n), jnp.int32)  # device carries (device_out)
+        hi = None  # device carries, allocated on first device_out spill
         spilled = False
+        if device_out:
+            # carry spills leave a < 2^30 lo residue (the host spill
+            # zeroes it): cap the batch so residue + bsz * bound fits
+            # int32 (same argument as _sum_stream_device)
+            bsz = min(
+                bsz,
+                max(
+                    1,
+                    (self._acc_limit - (1 << 30)) // self._per_theta_bound,
+                ),
+            )
         since = 0
         for start in range(0, total, bsz):
             batch = stream[start : start + bsz]
@@ -429,6 +449,8 @@ class SortedGkmEngine:
                 if device_out:
                     from .device_counts import _carry_spill
 
+                    if hi is None:
+                        hi = jnp.zeros((n, n), jnp.int32)
                     new_lo, hi = _carry_spill(state[0], hi)
                     state = (new_lo,) + state[1:]
                     spilled = True

@@ -162,6 +162,33 @@ def test_sorted_engine_device_exact_and_approx(rng):
         )
 
 
+def test_sorted_engine_device_adaptive_cap(rng):
+    """Adaptive-spill device path: a carry spill leaves a < 2^30 lo
+    residue, so batches must be capped to (acc_limit - 2^30)/bound —
+    with a fabricated huge per-theta bound the cap drops to 1 and the
+    result must still be exact (regression for the int32 overflow the
+    host path's zeroing spill never hits)."""
+    from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+
+    X = _uniform_seqs(rng, 10, 20, alphabet=24)
+    enc = encode_sequences(X, None)
+    cfg = KernelConfig(sorted_slab=128, theta_batch=4)
+    expect = SortedGkmEngine(enc, 7, 3, cfg).exact()
+
+    eng = SortedGkmEngine(enc, 7, 3, cfg)
+    eng._adaptive_spill = True
+    eng._per_theta_bound = (eng._acc_limit - (1 << 30)) // 2  # t_cap == 2
+    got = eng.exact_device()
+    np.testing.assert_array_equal(got.to_host_int64(), expect)
+
+    eng2 = SortedGkmEngine(enc, 7, 3, cfg)
+    eng2._adaptive_spill = True
+    eng2._per_theta_bound = eng2._acc_limit  # t_cap == 1, spill every pass
+    got2 = eng2.exact_device()
+    np.testing.assert_array_equal(got2.to_host_int64(), expect)
+
+
 def test_sorted_engine_device_via_fastsk(rng):
     """FastSK routes big-alphabet approx to the sorted engine; the
     device-resident flag must keep it on device."""

@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 DATA = "/root/reference/data"
 
 

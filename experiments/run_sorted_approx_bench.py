@@ -26,9 +26,12 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from fastsk_tpu.io.fasta import FastaUtility
 from fastsk_tpu.kernel.config import KernelConfig

@@ -24,6 +24,10 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+)
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 DATA = "/root/reference/data"
 

@@ -13,7 +13,11 @@ prints one line: ``tunnel: compile=XXs pull=XX MB/s exec=XXms``.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:

@@ -140,13 +140,19 @@ def _smo_solve_general(
     alpha, grad, iters, _ = jax.lax.while_loop(
         cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
     )
-    # Snap f32 bound residues: LIBSVM's double updates leave alphas exactly
-    # at 0/C, ours can leave ~1e-7 leftovers on the pair partner, and those
-    # phantom "free" SVs would pollute the gradient-averaged rho.
-    alpha = _snap_bounds(alpha, C_vec)
+    alpha, rho = _finalize_rho(alpha, grad, y, C_vec)
+    return alpha, rho, iters
 
-    # rho (bias): average -y*grad over free SVs, else midpoint of bounds
-    # (libsvm Solver::calculate_rho, svm.cpp:974-1004)
+
+def _finalize_rho(alpha, grad, y, C_vec):
+    """Snap f32 bound residues and compute the bias.
+
+    LIBSVM's double updates leave alphas exactly at 0/C, ours can leave
+    ~1e-7 leftovers on the pair partner, and those phantom "free" SVs
+    would pollute the gradient-averaged rho. rho: average -y*grad over
+    free SVs, else midpoint of bounds (libsvm Solver::calculate_rho,
+    svm.cpp:974-1004)."""
+    alpha = _snap_bounds(alpha, C_vec)
     free = (alpha > 0) & (alpha < C_vec)
     yg = y * grad
     nfree = jnp.sum(free)
@@ -155,6 +161,155 @@ def _smo_solve_general(
     ub = jnp.min(jnp.where(up, yg, -_NEG_INF))
     lb = jnp.max(jnp.where(low, yg, _NEG_INF))
     rho = jnp.where(nfree > 0, jnp.sum(jnp.where(free, yg, 0.0)) / nfree, (ub + lb) / 2.0)
+    return alpha, rho
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q", "inner_steps", "max_outer")
+)
+def _smo_solve_blocked(
+    Q: jnp.ndarray,  # [n, n] float32, Q = (y y^T) * K
+    y: jnp.ndarray,  # [n] float32 {-1, +1}
+    C_vec: jnp.ndarray,  # [n] per-sample upper bound
+    p: jnp.ndarray,  # [n] linear term (C-SVC: -e)
+    alpha0: jnp.ndarray,  # [n] feasible start
+    eps: float,
+    *,
+    q: int = 64,
+    inner_steps: int = 64,
+    max_outer: int = 100_000,
+):
+    """Working-set decomposition SMO (SVMlight-family, q > 2): each outer
+    iteration gathers the q most KKT-violating coordinates (top q/2 of
+    I_up by -y*grad, top q/2 of I_low by y*grad), runs ``inner_steps``
+    exact pair updates on the q-variable subproblem entirely in small
+    vectors, then applies one rank-q gradient update ``grad += dalpha @
+    Q[idx, :]`` on the MXU.
+
+    Converges to the same dual optimum as the pairwise loop: the maximal
+    violating pair is always inside the working set (it attains the two
+    top-1 scores), every inner update is an exact constrained pair
+    minimization, and the outer stop is the identical global rule
+    ``gmax + gmax2 < eps`` — the returned point satisfies the same KKT
+    tolerance as LIBSVM's Solver::Solve, it just gets there with ~q
+    updates per O(n) selection instead of one (svm.cpp:805-923 does one
+    pair per full working-set selection).
+
+    Wall-clock motivation: the pairwise loop's iteration is
+    latency-bound (~10 O(n) ops per update); at n in the thousands the
+    decomposition replaces ~q sequential O(n) selections with one O(n)
+    top_k plus q tiny O(q) steps and a [q]x[q,n] matvec.
+    """
+    n = Q.shape[0]
+    half = q // 2
+    grad0 = Q @ alpha0 + p
+    tri = jnp.tril(jnp.ones((q, q), jnp.bool_), k=-1)
+
+    def inner_body(_, state):
+        a_l, g_l, y_l, lo_l, hi_l, Q_l = state
+        up_l = jnp.where(y_l > 0, a_l < hi_l, a_l > lo_l)
+        low_l = jnp.where(y_l > 0, a_l > lo_l, a_l < hi_l)
+        minus_yg = -y_l * g_l
+        gmax = jnp.max(jnp.where(up_l, minus_yg, _NEG_INF))
+        i = jnp.argmax(jnp.where(up_l, minus_yg, _NEG_INF))
+        gmax2 = jnp.max(jnp.where(low_l, -minus_yg, _NEG_INF))
+
+        b = gmax + y_l * g_l
+        qd = jnp.diagonal(Q_l)
+        a_coef = qd[i] + qd - 2.0 * y_l[i] * y_l * Q_l[i, :]
+        a_coef = jnp.where(a_coef <= 0, _TAU, a_coef)
+        obj_diff = -(b * b) / a_coef
+        cand = low_l & (b > 0)
+        j = jnp.argmin(jnp.where(cand, obj_diff, -_NEG_INF))
+
+        yi, yj = y_l[i], y_l[j]
+        quad = qd[i] + qd[j] - 2.0 * yi * yj * Q_l[i, j]
+        quad = jnp.where(quad <= 0, _TAU, quad)
+        ai, aj = a_l[i], a_l[j]
+        same_sign = yi == yj
+        delta_eq = (g_l[i] - g_l[j]) / quad
+        delta_neq = (-g_l[i] - g_l[j]) / quad
+        new_ai = jnp.where(same_sign, ai - delta_eq, ai + delta_neq)
+
+        # project onto the feasible segment of the general box
+        # [lo, hi] (frozen duplicate slots have lo == hi); conserved:
+        # a_i + a_j (same sign) or a_i - a_j (different sign)
+        s_term = jnp.where(same_sign, ai + aj, ai - aj)
+        lo_i = jnp.where(
+            same_sign,
+            jnp.maximum(lo_l[i], s_term - hi_l[j]),
+            jnp.maximum(lo_l[i], s_term + lo_l[j]),
+        )
+        hi_i = jnp.where(
+            same_sign,
+            jnp.minimum(hi_l[i], s_term - lo_l[j]),
+            jnp.minimum(hi_l[i], s_term + hi_l[j]),
+        )
+        new_ai = jnp.clip(new_ai, lo_i, hi_i)
+        new_aj = jnp.where(same_sign, s_term - new_ai, new_ai - s_term)
+
+        # no-op once the subproblem meets the global tolerance
+        live = (gmax + gmax2) >= eps
+        dai = jnp.where(live, new_ai - ai, 0.0)
+        daj = jnp.where(live, new_aj - aj, 0.0)
+        g_l = g_l + Q_l[i, :] * dai + Q_l[j, :] * daj
+        a_l = a_l.at[i].add(dai).at[j].add(daj)
+        return a_l, g_l, y_l, lo_l, hi_l, Q_l
+
+    def outer_body(state):
+        alpha, grad, it, _ = state
+        up = jnp.where(y > 0, alpha < C_vec, alpha > 0)
+        low = jnp.where(y > 0, alpha > 0, alpha < C_vec)
+        minus_yg = -y * grad
+        _, iu = jax.lax.top_k(jnp.where(up, minus_yg, _NEG_INF), half)
+        _, il = jax.lax.top_k(jnp.where(low, y * grad, _NEG_INF), half)
+        idx = jnp.concatenate([iu, il])
+
+        # a free SV can appear in both halves: freeze every later
+        # duplicate slot (box collapsed to its current value) so only
+        # one live copy moves and scatter-adds stay exact
+        dup = jnp.any((idx[:, None] == idx[None, :]) & tri, axis=1)
+        a_l = alpha[idx]
+        y_l = y[idx]
+        g_l = grad[idx]
+        lo_l = jnp.where(dup, a_l, 0.0)
+        hi_l = jnp.where(dup, a_l, C_vec[idx])
+        # row selection as a one-hot matmul, NOT a gather: XLA gather on
+        # TPU runs ~12M lookups/s (measured, NOTES_ROUND1) — 64 x n
+        # gathered elements per outer iteration would dominate the whole
+        # solve — while the MXU one-hot product is exact for f32 (one
+        # nonzero per row) and effectively free at these shapes
+        onehot = (idx[:, None] == jnp.arange(n)[None, :]).astype(Q.dtype)
+        Q_rows = jnp.matmul(
+            onehot, Q, precision=jax.lax.Precision.HIGHEST
+        )  # [q, n]
+        Q_l = jnp.matmul(
+            Q_rows, onehot.T, precision=jax.lax.Precision.HIGHEST
+        )  # [q, q]
+
+        a_out, *_ = jax.lax.fori_loop(
+            0, inner_steps, inner_body, (a_l, g_l, y_l, lo_l, hi_l, Q_l)
+        )
+        dalpha = a_out - a_l  # 0 on frozen duplicate slots
+        alpha = alpha.at[idx].add(dalpha)
+        grad = grad + jnp.matmul(
+            dalpha, Q_rows, precision=jax.lax.Precision.HIGHEST
+        )
+
+        up2 = jnp.where(y > 0, alpha < C_vec, alpha > 0)
+        low2 = jnp.where(y > 0, alpha > 0, alpha < C_vec)
+        gmax = jnp.max(jnp.where(up2, -y * grad, _NEG_INF))
+        gmax2 = jnp.max(jnp.where(low2, y * grad, _NEG_INF))
+        return alpha, grad, it + 1, gmax + gmax2
+
+    def cond(state):
+        _, _, it, viol = state
+        return (it < max_outer) & (viol >= eps)
+
+    alpha, grad, iters, _ = jax.lax.while_loop(
+        cond, outer_body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    alpha, rho = _finalize_rho(alpha, grad, y, C_vec)
     return alpha, rho, iters
 
 
@@ -222,6 +377,17 @@ class KernelSVC:
             self._fit_platt(gram, y, y_signed, c_vec)
         return self
 
+    # Opt-in experimental routing to _smo_solve_blocked for n >= this
+    # value; None = always use the pairwise reference loop. Measured on
+    # EP300_47848 (n=6506, real v5e): the decomposition converges to the
+    # same optimum but LOSES — 29,151 outer iterations vs 11,546 pairwise
+    # updates (the q-subproblem hits local eps after ~2 updates and the
+    # remaining inner steps no-op, so each outer buys ~1 useful update at
+    # many times the cost). Kept because the machinery (one-hot row
+    # selection, general-box pair updates, frozen duplicate slots) is the
+    # substrate for a smarter multi-pair selection rule.
+    BLOCKED_MIN_N: Optional[int] = None
+
     def _solve(self, gram, y_signed, c_vec, alpha0=None):
         max_iter = min(self.max_iter, max(10_000_000, 100 * len(y_signed)))
         n = len(y_signed)
@@ -230,15 +396,22 @@ class KernelSVC:
         )
         if alpha0 is None:
             alpha0 = jnp.zeros((n,), jnp.float32)
-        alpha, rho, iters = _smo_solve_general(
+        args = (
             Q,
             jnp.asarray(y_signed),
             jnp.asarray(c_vec),
             -jnp.ones((n,), jnp.float32),
             jnp.asarray(alpha0, jnp.float32),
             self.eps,
-            max_iter,
         )
+        if self.BLOCKED_MIN_N is not None and n >= self.BLOCKED_MIN_N:
+            q = 64
+            alpha, rho, iters = _smo_solve_blocked(
+                *args, q=q, inner_steps=q,
+                max_outer=max(1, max_iter // q),
+            )
+        else:
+            alpha, rho, iters = _smo_solve_general(*args, max_iter)
         return np.asarray(alpha, np.float64), float(rho), int(iters)
 
     def _fit_platt(self, gram, y, y_signed, c_vec):

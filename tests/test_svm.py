@@ -292,3 +292,68 @@ def test_probability_platt_params_unchanged_by_warm_start(rng):
     A_warm, B_warm = model.platt_
     assert abs(A_warm - A_cold) < 0.2 * max(1.0, abs(A_cold))
     assert abs(B_warm - B_cold) < 0.1
+
+
+def test_blocked_smo_matches_pairwise_and_sklearn(rng):
+    """The q-pair working-set decomposition must land on the same dual
+    optimum (same eps KKT rule) as the pairwise reference loop and
+    LIBSVM, including with per-sample C (balanced weights) and at sizes
+    that force duplicate/frozen working-set slots."""
+    import jax.numpy as jnp
+    from sklearn.svm import SVC
+
+    from fastsk_tpu.svm.kernel_svm import (
+        _smo_solve_blocked,
+        _smo_solve_general,
+    )
+
+    for n, cw in ((150, None), (90, "balanced")):
+        X, y = make_blobs(rng, n=n, d=5)
+        K = (X @ X.T).astype(np.float32)
+        y_signed = np.where(y == 1, 1.0, -1.0).astype(np.float32)
+        if cw == "balanced":
+            counts = np.array([(y == c).sum() for c in (0, 1)], float)
+            w = len(y) / (2.0 * counts)
+            c_vec = (np.where(y == 1, w[1], w[0])).astype(np.float32)
+        else:
+            c_vec = np.full(n, 1.0, dtype=np.float32)
+        Q = jnp.asarray(K) * jnp.outer(jnp.asarray(y_signed), jnp.asarray(y_signed))
+        args = (
+            Q, jnp.asarray(y_signed), jnp.asarray(c_vec),
+            -jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            1e-4,
+        )
+        a_ref, rho_ref, _ = _smo_solve_general(*args, 10_000_000)
+        # q=16 on n=90 guarantees overlapping I_up/I_low selections
+        a_blk, rho_blk, it = _smo_solve_blocked(
+            *args, q=16, inner_steps=16, max_outer=100_000
+        )
+        assert int(it) > 0
+        a_ref, a_blk = np.asarray(a_ref, np.float64), np.asarray(a_blk, np.float64)
+        # box + equality feasibility, exact
+        assert (a_blk >= 0).all() and (a_blk <= c_vec + 1e-6).all()
+        assert abs(float(a_blk @ y_signed)) < 1e-3
+        d_ref = K @ (a_ref * y_signed) - float(rho_ref)
+        d_blk = K @ (a_blk * y_signed) - float(rho_blk)
+        np.testing.assert_allclose(d_blk, d_ref, atol=2e-2)
+        if cw is None:
+            sk = SVC(C=1.0, kernel="precomputed", tol=1e-5).fit(K, y)
+            np.testing.assert_allclose(d_blk, sk.decision_function(K), atol=2e-2)
+
+
+def test_kernel_svc_blocked_threshold_path(rng):
+    """KernelSVC routes n >= BLOCKED_MIN_N through the blocked solver;
+    force the threshold down and check decisions against the pairwise
+    path on the identical problem."""
+    X, y = make_blobs(rng, n=140, d=6)
+    K = X @ X.T
+    lowered = KernelSVC(C=1.0, eps=1e-5)
+    lowered.BLOCKED_MIN_N = 1
+    a = lowered.fit(K, y)
+    ref = KernelSVC(C=1.0, eps=1e-5)
+    ref.BLOCKED_MIN_N = 10**9
+    b = ref.fit(K, y)
+    np.testing.assert_allclose(
+        a.decision_function(K), b.decision_function(K), atol=2e-2
+    )
+    assert (a.predict(K) == b.predict(K)).all()

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional
+from typing import ClassVar, Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +78,10 @@ def _smo_solve_general(
     (svm.cpp:411-1028) covering C-SVC, epsilon-SVR and one-class via the
     caller's choice of Q, p, bounds and warm start."""
     n = Q.shape[0]
-    grad0 = Q @ alpha0 + p
+    # HIGHEST precision: warm starts make alpha0 nonzero, and grad is only
+    # ever updated incrementally from here — a bf16-pass grad0 would bias
+    # the KKT stop rule and rho for the entire solve.
+    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
 
     def select(alpha, grad):
         # I_up: y=+1 & a<C  or  y=-1 & a>0 ; I_low: y=+1 & a>0 or y=-1 & a<C
@@ -202,7 +205,7 @@ def _smo_solve_blocked(
     """
     n = Q.shape[0]
     half = q // 2
-    grad0 = Q @ alpha0 + p
+    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
     tri = jnp.tril(jnp.ones((q, q), jnp.bool_), k=-1)
 
     def inner_body(_, state):
@@ -327,6 +330,14 @@ class KernelSVC:
     max_iter: int = 10_000_000
     class_weight: Optional[str] = None
     cv_folds: int = 5
+    # Platt CV folds warm-start from the full-problem optimum (which saw
+    # the held-out fold's rows). Because the eps-approximate stopping
+    # point is non-unique, fold decision values become weakly dependent
+    # on test-fold labels — a deviation from the reference's cold-start
+    # svm_binary_svc_probability (svm.cpp:1913-1999), bounded by the
+    # solver tolerance (AUC measured bit-unchanged on the published
+    # suites). Set False to reproduce the reference's cold-start folds.
+    platt_warm_start: bool = True
 
     def fit(self, gram: np.ndarray, y) -> "KernelSVC":
         gram = _gram_f32(gram)
@@ -385,8 +396,10 @@ class KernelSVC:
     # remaining inner steps no-op, so each outer buys ~1 useful update at
     # many times the cost). Kept because the machinery (one-hot row
     # selection, general-box pair updates, frozen duplicate slots) is the
-    # substrate for a smarter multi-pair selection rule.
-    BLOCKED_MIN_N: Optional[int] = None
+    # substrate for a smarter multi-pair selection rule. ClassVar so the
+    # toggle stays a class-level experiment switch and not a dataclass
+    # __init__ field.
+    BLOCKED_MIN_N: ClassVar[Optional[int]] = None
 
     def _solve(self, gram, y_signed, c_vec, alpha0=None):
         max_iter = min(self.max_iter, max(10_000_000, 100 * len(y_signed)))
@@ -404,7 +417,10 @@ class KernelSVC:
             jnp.asarray(alpha0, jnp.float32),
             self.eps,
         )
-        if self.BLOCKED_MIN_N is not None and n >= self.BLOCKED_MIN_N:
+        if self.BLOCKED_MIN_N is not None and n >= max(self.BLOCKED_MIN_N, 64):
+            # n >= q is required by the top_k halves inside the blocked
+            # solver; small problems (or small CV folds) route to the
+            # pairwise loop, which is faster there anyway.
             q = 64
             alpha, rho, iters = _smo_solve_blocked(
                 *args, q=q, inner_steps=q,
@@ -432,7 +448,11 @@ class KernelSVC:
         dec = np.zeros(n, dtype=np.float64)
         for f in folds:
             tr = np.setdiff1d(all_idx, f)
-            a0 = _restrict_feasible(alpha_full[tr], y_signed[tr], c_vec[tr])
+            a0 = (
+                _restrict_feasible(alpha_full[tr], y_signed[tr], c_vec[tr])
+                if self.platt_warm_start
+                else None
+            )
             a, rho, _ = self._solve(
                 gram[np.ix_(tr, tr)], y_signed[tr], c_vec[tr], alpha0=a0
             )
@@ -650,7 +670,9 @@ def _smo_solve_nu(
     Returns (alpha, rho, r, iters); decision uses rho, and for nu-SVC the
     dual is rescaled by 1/r downstream (svm.cpp:1504-1524).
     """
-    grad0 = Q @ alpha0 + p
+    # nu solvers always start from a nonzero feasible point; see the
+    # precision note in _smo_solve_general.
+    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
 
     def body(state):
         alpha, grad, it, _ = state

@@ -357,3 +357,34 @@ def test_kernel_svc_blocked_threshold_path(rng):
         a.decision_function(K), b.decision_function(K), atol=2e-2
     )
     assert (a.predict(K) == b.predict(K)).all()
+
+
+def test_fused_smo_matches_while_loop(rng):
+    """smo_pallas.smo_solve_fused (interpret mode) is the same selection
+    and update, op for op, as _smo_solve_general — on a problem small
+    enough that f32 tie-breaking never diverges, the trajectories are
+    bit-identical (iters, alpha, rho). Real-hardware equality is covered
+    by the @tpu device test."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.svm.kernel_svm import _finalize_rho, _smo_solve_general
+    from fastsk_tpu.svm.smo_pallas import smo_solve_fused
+
+    n = 40
+    X = rng.normal(size=(n, 4)).astype(np.float32)
+    K = (X @ X.T + n * np.eye(n)).astype(np.float32)
+    d = np.sqrt(np.diag(K))
+    K = (K / np.outer(d, d)).astype(np.float32)
+    y = np.where(rng.random(n) > 0.5, 1.0, -1.0).astype(np.float32)
+    Q = jnp.asarray(K * np.outer(y, y))
+    yj = jnp.asarray(y)
+    C = jnp.full(n, 1.0, jnp.float32)
+    p = -jnp.ones(n, jnp.float32)
+    a0 = jnp.zeros(n, jnp.float32)
+
+    a_f, g_f, it_f = smo_solve_fused(Q, yj, C, p, a0, 1e-3, 100000, interpret=True)
+    a_f, rho_f = _finalize_rho(a_f, g_f, yj, C)
+    a_r, rho_r, it_r = _smo_solve_general(Q, yj, C, p, a0, 1e-3, 100000)
+    assert int(it_f) == int(it_r)
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
+    assert float(rho_f) == float(rho_r)

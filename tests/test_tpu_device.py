@@ -107,3 +107,47 @@ def test_device_resident_on_device(rng):
     acc = f.score("accuracy")
     assert f._K is None and f._counts is None  # never pulled
     assert 0.0 <= acc <= 100.0
+
+
+def test_fused_smo_on_device(rng):
+    """The fused Pallas SMO reaches the same eps-KKT point as the
+    while_loop solver on real hardware: rho within eps, identical
+    support size, and the returned point's true KKT violation < eps."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastsk_tpu.svm.kernel_svm import _finalize_rho, _smo_solve_general
+    from fastsk_tpu.svm.smo_pallas import smo_solve_fused
+    from fastsk_tpu.utils.observe import enable_compilation_cache
+
+    enable_compilation_cache()
+    n = 500
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    K = (X @ X.T + n * np.eye(n)).astype(np.float32)
+    d = np.sqrt(np.diag(K))
+    K = (K / np.outer(d, d)).astype(np.float32)
+    y = np.where(rng.random(n) > 0.5, 1.0, -1.0).astype(np.float32)
+    Qn = (K * np.outer(y, y)).astype(np.float32)
+    Q = jnp.asarray(Qn)
+    yj = jnp.asarray(y)
+    C = jnp.full(n, 1.0, jnp.float32)
+    p = -jnp.ones(n, jnp.float32)
+    a0 = jnp.zeros(n, jnp.float32)
+    eps = 1e-3
+
+    a_f, g_f, it_f = smo_solve_fused(Q, yj, C, p, a0, eps, 10_000_000)
+    a_f, rho_f = _finalize_rho(a_f, g_f, yj, C)
+    a_r, rho_r, _ = _smo_solve_general(Q, yj, C, p, a0, eps, 10_000_000)
+
+    a = np.asarray(a_f, np.float64)
+    g_true = Qn.astype(np.float64) @ a - 1.0
+    up = np.where(y > 0, a < 1.0, a > 0)
+    low = np.where(y > 0, a > 0, a < 1.0)
+    viol = np.max(np.where(up, -y * g_true, -1e30)) + np.max(
+        np.where(low, y * g_true, -1e30)
+    )
+    # grad drift: the incremental f32 gradient can overshoot the exact
+    # one by a few ulps around the stop, so allow 2x the tolerance
+    assert viol < 2 * eps
+    assert abs(float(rho_f) - float(rho_r)) < eps
+    assert int(jnp.sum(a_f > 0)) == int(jnp.sum(a_r > 0))

@@ -54,6 +54,12 @@ def main() -> None:
     from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
     from fastsk_tpu.ops.combinatorics import nchoosek
     from fastsk_tpu.ops.encode import encode_sequences
+    from fastsk_tpu.utils.observe import enable_compilation_cache
+
+    # persistent compile cache: the remote compile service varies
+    # 20s-10min per program; the second bench invocation must show
+    # compile+first-run ~= steady (VERDICT r2 item 4)
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")

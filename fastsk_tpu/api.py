@@ -51,6 +51,15 @@ class FastSK:
         self.seed = int(seed)
         self.config = config or KernelConfig()
 
+        # Persistent XLA/Mosaic compile cache for every entry point that
+        # constructs a model (CLI, bench, experiments, user code) — the
+        # remote TPU compile service varies 20 s–10 min per program
+        # (NOTES_ROUND2), so cold processes must reuse prior compiles.
+        # Idempotent; opt out with FASTSK_COMPILATION_CACHE=0.
+        from .utils.observe import enable_compilation_cache
+
+        enable_compilation_cache()
+
         self._counts: Optional[np.ndarray] = None  # int64 [N, N]
         self._K: Optional[np.ndarray] = None  # float64 normalized [N, N]
         self._counts_dev = None  # DeviceCounts (device-resident mode)

@@ -42,6 +42,16 @@ class KernelConfig:
     # Device to place single-device work on (None = default backend device).
     device: Optional[jax.Device] = None
 
+    # Mesh memory layout for the packed and sorted engines' exact paths:
+    # "sharded" keeps only a kernel row block (sorted: [N/R, N]; packed:
+    # row-block digit planes) per device, so per-device memory is
+    # O(N^2 / n_dev) — the pod-scale layout matching the dense engine
+    # (parallel/sharding.py:exact_batch_update_sharded). "replicated"
+    # keeps private full-size replicas per device (round-2 layout:
+    # lowest wall-clock on small meshes, memory does not shrink with
+    # device count). The dense engine is always row-sharded.
+    mesh_state: str = "sharded"
+
     # Exact-mode engine selection: "auto" prefers the all-pairs engine
     # (kernel/pairs_engine.py) and falls back to the theta engine when the
     # int32 count bound rules it out; "pairs" / "theta" force one.

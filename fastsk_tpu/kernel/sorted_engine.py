@@ -216,6 +216,8 @@ class SortedGkmEngine:
     def _sum_stream(self, thetas: np.ndarray) -> np.ndarray:
         """Exact integer sum over a theta stream, batched, int64 on host."""
         if self.mesh is not None:
+            if self.config.mesh_state == "sharded":
+                return self._sum_stream_rowsharded(thetas)
             return self._sum_stream_sharded(thetas)
         host = np.zeros((self.n, self.n), dtype=np.int64)
         k_acc = jnp.zeros((self.n, self.n), jnp.int32)
@@ -306,9 +308,85 @@ class SortedGkmEngine:
         thetas = enumerate_combinations(self.g, self.k)
         return self._sum_stream_device(thetas)
 
+    def _sum_stream_rowsharded(self, thetas: np.ndarray) -> np.ndarray:
+        """Rows x theta sharded exact sum with O(N^2 / R) per-device
+        state (KernelConfig.mesh_state="sharded", the default): device
+        (r, t) accumulates kernel row strip r over theta shard t; theta
+        shards merge with one psum per batch
+        (parallel/sharding.py:sorted_batch_rowsharded). Integer-identical
+        to the single-device stream."""
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_rows_axis = mesh.shape[shd.ROWS_AXIS]
+        n_theta_axis = mesh.shape[shd.THETA_AXIS]
+        n_rows = -(-self.n // n_rows_axis)
+        n_pad = n_rows_axis * n_rows
+        rows_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(shd.ROWS_AXIS, None)
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        windows = jax.device_put(self._windows, rep)
+        valid = jax.device_put(self._valid, rep)
+        seq_of = jax.device_put(self._seq_of, rep)
+        statics = self._static_kwargs()
+        statics.pop("tri_blocks")  # rows strips are always full-width
+
+        host = np.zeros((self.n, self.n), dtype=np.int64)
+        k_rows = jnp.zeros((n_pad, self.n), jnp.int32, device=rows_sharding)
+        # a chunk lands n_theta_axis * tb thetas on EVERY strip (psum),
+        # so the int32 headroom bound applies to the whole chunk
+        chunk_cap = max(
+            1, (self._acc_limit // self._per_theta_bound) // n_theta_axis
+        )
+        per_step = n_theta_axis * min(self.theta_batch, chunk_cap)
+        total = len(thetas)
+        since = 0
+        for i in range(0, total, per_step):
+            chunk = thetas[i : i + per_step]
+            live = np.zeros(per_step, dtype=np.int32)
+            live[: len(chunk)] = 1
+            if len(chunk) < per_step:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:1], per_step - len(chunk), 0)]
+                )
+            k_rows = shd.sorted_batch_rowsharded(
+                k_rows,
+                windows,
+                valid,
+                seq_of,
+                jnp.asarray(chunk, dtype=jnp.int32),
+                jnp.asarray(live),
+                mesh=mesh,
+                n_pad=n_pad,
+                n_rows=n_rows,
+                **statics,
+            )
+            # after the psum every row strip holds ALL of the chunk's
+            # thetas (unlike the replicated path, where each device only
+            # accumulates its own shard)
+            since += per_step
+            if self._adaptive_spill:
+                spill = i + per_step < total and self._must_spill(
+                    k_rows, per_step
+                )
+            else:
+                spill = since >= self.spill_every
+            if spill:
+                host += shd.host_gather(k_rows)[: self.n]
+                k_rows = jnp.zeros(
+                    (n_pad, self.n), jnp.int32, device=rows_sharding
+                )
+                since = 0
+        host += shd.host_gather(k_rows)[: self.n]
+        # strips are full rows (both triangles computed): no mirror needed
+        return host
+
     def _sum_stream_sharded(self, thetas: np.ndarray) -> np.ndarray:
         """Theta-sharded exact sum: each device runs whole batched passes
-        into a private replica; the host sums replicas."""
+        into a private replica; the host sums replicas
+        (KernelConfig.mesh_state="replicated": lowest wall-clock on small
+        meshes, per-device memory does not shrink with device count)."""
         from ..parallel import sharding as shd
 
         mesh = self.mesh

@@ -178,6 +178,44 @@ def _pass_phase1(
     return diag, mseq, mrank, mcount, m2
 
 
+def _count_ops(c_s: jnp.ndarray, count_split: bool):
+    """Matmul operand form of an f32 integer count block.
+
+    count_split: counts can exceed bf16-exact range: split into base-128
+    digits, each < 128 so it fits SIGNED int8 — the int8 MXU path runs
+    at 2x the bf16 rate on v5e and s8xs8->s32 dots are exact by
+    construction. Digit bound: hi = c >> 7 <= p_max/128 <= 127 under the
+    engine's p_max < 16384 guard (sorted_engine.py). No int32 overflow:
+    each reassembled term is bounded by the true per-pass entry
+    K[i,j] <= p_i*p_j <= p_max^2 < 2^31."""
+    if count_split:
+        c_int = c_s.astype(jnp.int32)
+        return ((c_int >> 7).astype(jnp.int8), (c_int & 127).astype(jnp.int8))
+    return (c_s.astype(jnp.bfloat16),)
+
+
+def _gram_ops(a_ops, b_ops, count_split: bool):
+    """Exact int32 ``A @ B^T`` on operand tuples from ``_count_ops``."""
+    if count_split:
+        hi_a, lo_a = a_ops
+        hi_b, lo_b = b_ops
+        pt = jnp.int32
+        hh = jnp.matmul(hi_a, hi_b.T, preferred_element_type=pt)
+        hl = jnp.matmul(hi_a, lo_b.T, preferred_element_type=pt)
+        ll = jnp.matmul(lo_a, lo_b.T, preferred_element_type=pt)
+        if a_ops is b_ops:
+            # lo@hi^T == (hi@lo^T)^T for identical operands:
+            # three matmuls, not four
+            return hh * 16384 + (hl + hl.T) * 128 + ll
+        lh = jnp.matmul(lo_a, hi_b.T, preferred_element_type=pt)
+        return hh * 16384 + (hl + lh) * 128 + ll
+    (cb_a,) = a_ops
+    (cb_b,) = b_ops
+    return jnp.matmul(
+        cb_a, cb_b.T, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+
 def _sym_gram(c_s: jnp.ndarray, n: int, count_split: bool, tri_blocks: int):
     """Exact int32 ``c_s @ c_s^T`` for integer-valued f32 counts.
 
@@ -186,41 +224,10 @@ def _sym_gram(c_s: jnp.ndarray, n: int, count_split: bool, tri_blocks: int):
     saving (B-1)/(2B) of the MXU work. Entries strictly below the block
     diagonal are left zero; entries below the diagonal *inside* a
     diagonal block are computed (and equal their mirror)."""
-    if count_split:
-        # counts can exceed bf16-exact range: split into base-128
-        # digits, each < 128 so it fits SIGNED int8 — the int8 MXU
-        # path runs at 2x the bf16 rate on v5e and s8xs8->s32 dots
-        # are exact by construction. Digit bound: hi = c >> 7 <=
-        # p_max/128 <= 127 under the engine's p_max < 16384 guard
-        # (sorted_engine.py).
-        # No int32 overflow: each reassembled term is bounded by the
-        # true per-pass entry K[i,j] <= p_i*p_j <= p_max^2 < 2^31.
-        c_int = c_s.astype(jnp.int32)
-        ops = [
-            ((c_int >> 7).astype(jnp.int8), (c_int & 127).astype(jnp.int8))
-        ]
-    else:
-        ops = [(c_s.astype(jnp.bfloat16),)]
+    ops = [_count_ops(c_s, count_split)]
 
     def gram(a_ops, b_ops):
-        if count_split:
-            hi_a, lo_a = a_ops
-            hi_b, lo_b = b_ops
-            pt = jnp.int32
-            hh = jnp.matmul(hi_a, hi_b.T, preferred_element_type=pt)
-            hl = jnp.matmul(hi_a, lo_b.T, preferred_element_type=pt)
-            ll = jnp.matmul(lo_a, lo_b.T, preferred_element_type=pt)
-            if a_ops is b_ops:
-                # lo@hi^T == (hi@lo^T)^T for identical operands:
-                # three matmuls, not four
-                return hh * 16384 + (hl + hl.T) * 128 + ll
-            lh = jnp.matmul(lo_a, hi_b.T, preferred_element_type=pt)
-            return hh * 16384 + (hl + lh) * 128 + ll
-        (cb_a,) = a_ops
-        (cb_b,) = b_ops
-        return jnp.matmul(
-            cb_a, cb_b.T, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        return _gram_ops(a_ops, b_ops, count_split)
 
     if tri_blocks < 2 or n < 2 * tri_blocks:
         return gram(ops[0], ops[0])
@@ -304,6 +311,132 @@ def _slab_contrib(
     # (an f32 product would round above 2^24, capping p_max at 4096)
     cross = a_vec[:, None] * b_vec[None, :]
     return ks + cross + cross.T
+
+
+def _slab_contrib_rows(
+    s: jnp.ndarray,
+    mseq: jnp.ndarray,
+    mrank: jnp.ndarray,
+    mcount: jnp.ndarray,
+    m2: jnp.ndarray,
+    row0: jnp.ndarray,  # traced: global row of this strip's first row
+    *,
+    n: int,
+    n_pad: int,  # >= n; row0 + n_rows <= n_pad (caller pads)
+    n_rows: int,
+    slab: int,
+    count_split: bool,
+) -> jnp.ndarray:
+    """Row-strip ``[n_rows, n]`` of ``_slab_contrib``: the count matrix is
+    built full (the sort is global), but only the strip's rows of the
+    slab gram / cross-correction are computed, so a device accumulating a
+    kernel row block never materializes [n, n]. Bit-identical to the
+    corresponding rows of ``_slab_contrib(..., tri_blocks=0)``."""
+    nfeat = mseq.shape[0]
+    idx_all = jnp.arange(slab, dtype=jnp.int32)
+    n_win = ((n + 127) // 128) * 128
+
+    s0 = s * slab
+    idx = s0 + idx_all
+    live = idx < m2
+    seqs = jnp.take(mseq, idx, mode="clip")
+    ranks = jnp.take(mrank, idx, mode="clip")
+    cnts = jnp.where(live, jnp.take(mcount, idx, mode="clip"), 0)
+    base_rank = jnp.take(mrank, s0, mode="clip")
+    lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
+
+    c_s = jnp.zeros((n_pad, slab), jnp.float32)
+    c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
+    ops_all = _count_ops(c_s[:n], count_split)
+    ops_rows = tuple(
+        jax.lax.dynamic_slice_in_dim(o, row0, n_rows, axis=0)
+        for o in _count_ops(c_s, count_split)
+    )
+    ks = _gram_ops(ops_rows, ops_all, count_split)  # [n_rows, n]
+
+    straddle = (s > 0) & (
+        jnp.take(mrank, s0, mode="clip")
+        == jnp.take(mrank, jnp.maximum(s0 - 1, 0), mode="clip")
+    ) & (s0 < m2)
+    widx = jnp.arange(2 * n_win, dtype=jnp.int32) + s0 - n_win
+    wlive = (widx >= 0) & (widx < m2)
+    wrank = jnp.take(mrank, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    wseq = jnp.take(mseq, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    wcnt = jnp.take(mcount, jnp.clip(widx, 0, nfeat - 1), mode="clip")
+    in_run = wlive & (wrank == base_rank) & straddle
+    a_mask = in_run & (widx < s0)
+    b_mask = in_run & (widx >= s0) & (widx < s0 + slab)
+    a_vec = jnp.zeros((n_pad,), jnp.int32).at[wseq].add(
+        jnp.where(a_mask, wcnt, 0)
+    )
+    b_vec = jnp.zeros((n_pad,), jnp.int32).at[wseq].add(
+        jnp.where(b_mask, wcnt, 0)
+    )
+    a_r = jax.lax.dynamic_slice_in_dim(a_vec, row0, n_rows)
+    b_r = jax.lax.dynamic_slice_in_dim(b_vec, row0, n_rows)
+    # row strip of (a b^T + b a^T)
+    cross_r = a_r[:, None] * b_vec[None, :n] + b_r[:, None] * a_vec[None, :n]
+    return ks + cross_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "base", "code_min", "n", "n_pad", "n_rows", "p", "slab",
+        "dpw", "n_words", "count_split", "static_slabs", "tri_blocks",
+    ),
+)
+def sorted_theta_pass_batch_sum_rows(
+    acc_rows: jnp.ndarray,  # [n_rows, n] int32 running row-strip sum
+    windows: jnp.ndarray,
+    valid: jnp.ndarray,
+    seq_of: jnp.ndarray,
+    thetas: jnp.ndarray,  # [T, k] int32
+    live_t: jnp.ndarray,  # [T] int32 (0 = padding theta, contributes 0)
+    row0: jnp.ndarray,  # traced scalar: global row offset of the strip
+    *,
+    n_pad: int,
+    n_rows: int,
+    **static,
+) -> jnp.ndarray:
+    """Row-strip variant of ``sorted_theta_pass_batch_sum``: adds the
+    strip ``[row0:row0+n_rows, :n]`` of every live pass's kernel to
+    ``acc_rows`` without ever materializing an [n, n] pass. This is the
+    per-device unit of the rows-sharded mesh path
+    (parallel/sharding.py:sorted_batch_rowsharded)."""
+    static.pop("static_slabs", None)
+    static.pop("tri_blocks", None)
+    diag, lanes, n_slabs, _ = _batch_phases(
+        windows, valid, seq_of, thetas, dict(static, tri_blocks=0)
+    )
+    n = static["n"]
+    slab = static["slab"]
+    count_split = static["count_split"]
+    livef = live_t.astype(jnp.int32)
+
+    lane_rows = functools.partial(
+        _slab_contrib_rows,
+        n=n, n_pad=n_pad, n_rows=n_rows, slab=slab,
+        count_split=count_split,
+    )
+
+    def body(s, acc):
+        ks = jax.vmap(
+            lambda ms, mr, mc, mm: lane_rows(s, ms, mr, mc, mm, row0)
+        )(*lanes)
+        return acc + jnp.sum(ks * livef[:, None, None], axis=0)
+
+    # diagonal of singleton runs: strip rows get their diag entry at
+    # column row0 + local_row
+    diag_sum = jnp.sum(
+        diag.astype(jnp.int32) * livef[:, None], axis=0
+    )  # [n]
+    diag_pad = jnp.pad(diag_sum, (0, n_pad - n))
+    diag_r = jax.lax.dynamic_slice_in_dim(diag_pad, row0, n_rows)
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    row_g = row0 + jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    init = acc_rows + jnp.where(col == row_g, diag_r[:, None], 0)
+    return jax.lax.fori_loop(0, n_slabs, body, init)
 
 
 def _sorted_theta_pass_core(

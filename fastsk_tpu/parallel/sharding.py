@@ -419,6 +419,62 @@ def sorted_batch_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "mesh", "g", "base", "code_min", "n", "n_pad", "n_rows", "p",
+        "slab", "dpw", "n_words", "count_split",
+    ),
+)
+def sorted_batch_rowsharded(
+    k_rows: jnp.ndarray,  # [R * n_rows, n] int32, rows-sharded on axis 0
+    windows: jnp.ndarray,  # [nfeat, g] int32, replicated
+    valid: jnp.ndarray,  # [nfeat] bool, replicated
+    seq_of: jnp.ndarray,  # [nfeat] int32, replicated
+    thetas: jnp.ndarray,  # [T_axis * Tb, k] int32, theta-sharded
+    live: jnp.ndarray,  # [T_axis * Tb] int32, theta-sharded
+    *,
+    mesh: Mesh,
+    n_pad: int,
+    n_rows: int,
+    **static,
+):
+    """Rows x theta sharded batched sorted passes with O(N^2 / R)
+    per-device state (KernelConfig.mesh_state="sharded").
+
+    Device (r, t) runs theta shard t's sort pipeline but accumulates only
+    kernel row strip r ([n_rows, n], ops/sorted_theta.py:
+    sorted_theta_pass_batch_sum_rows); theta shards merge with one psum
+    per batch, exactly the dense engine's structure
+    (exact_batch_update_sharded). The sort phase is duplicated across the
+    rows axis — the price of never materializing [n, n] anywhere; pick
+    mesh shape (R, T) to trade memory scaling (R) against throughput (T).
+    Integer-identical to the single-device batch sum.
+    """
+    from ..ops.sorted_theta import sorted_theta_pass_batch_sum_rows
+
+    def local(k_l, w, v, s, th, lv):
+        row0 = jax.lax.axis_index(ROWS_AXIS) * n_rows
+        part = sorted_theta_pass_batch_sum_rows(
+            jnp.zeros_like(k_l), w, v, s, th, lv, row0,
+            n_pad=n_pad, n_rows=n_rows, **static,
+        )
+        part = jax.lax.psum(part, THETA_AXIS)
+        return k_l + part
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS, None),
+            P(), P(), P(),
+            P(THETA_AXIS, None),
+            P(THETA_AXIS),
+        ),
+        out_specs=P(ROWS_AXIS, None),
+    )(k_rows, windows, valid, seq_of, thetas, live)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "mesh", "g", "k", "tile", "c_max", "n_strips", "n_digits",
         "digit_base", "backend",
     ),

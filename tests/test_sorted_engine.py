@@ -245,3 +245,51 @@ def test_sorted_sharded_matches_single_device(rng):
     k2 = sharded.exact()
     np.testing.assert_array_equal(k1, k2)
     np.testing.assert_array_equal(k1, oracle.exact_counts(X, 8, 3))
+
+
+def test_sorted_rowsharded_memory_layout(rng):
+    """mesh_state="sharded" (default) keeps an O(N^2/R) row strip per
+    device — assert the addressable shard shapes actually shrink with the
+    rows axis — and stays integer-identical to mesh_state="replicated"
+    and to the single device."""
+    import jax
+
+    from fastsk_tpu.parallel import make_mesh
+    from fastsk_tpu.parallel import sharding as shd
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X = random_ragged_seqs(rng, 10, 8, 20, alphabet=25)
+    enc = encode_sequences(X)
+    ref = SortedGkmEngine(enc, 8, 3, KernelConfig(sorted_slab=128)).exact()
+
+    mesh = make_mesh(4, 2)  # R=4: strips of ceil(10/4)=3 rows
+    eng = SortedGkmEngine(enc, 8, 3, KernelConfig(sorted_slab=128, mesh=mesh))
+    assert eng.config.mesh_state == "sharded"
+
+    # capture the sharded accumulator the stream builds
+    seen = {}
+    orig = shd.sorted_batch_rowsharded
+
+    def spy(k_rows, *a, **kw):
+        out = orig(k_rows, *a, **kw)
+        seen["shards"] = [s.data.shape for s in out.addressable_shards]
+        seen["global"] = out.shape
+        return out
+
+    shd.sorted_batch_rowsharded = spy
+    try:
+        k_sharded = eng.exact()
+    finally:
+        shd.sorted_batch_rowsharded = orig
+    np.testing.assert_array_equal(ref, k_sharded)
+    n_pad = -(-10 // 4) * 4
+    assert seen["global"] == (n_pad, 10)
+    # every addressable shard is one row strip: [n_pad/R, n]
+    assert all(s == (n_pad // 4, 10) for s in seen["shards"])
+
+    k_repl = SortedGkmEngine(
+        enc, 8, 3,
+        KernelConfig(sorted_slab=128, mesh=mesh, mesh_state="replicated"),
+    ).exact()
+    np.testing.assert_array_equal(ref, k_repl)

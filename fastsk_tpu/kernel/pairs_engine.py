@@ -467,11 +467,15 @@ class PackedPairsEngine:
             f = g * self.alpha
             # xa double-buffered + D chunk + digit temps + stage-1 out
             vmem_ok = 2 * self.tile * f * 2 + 10 * 2**20 <= 15 * 2**20
-            backend = (
-                "pallas"
-                if jax.default_backend() == "tpu" and vmem_ok
-                else "xla"
+            # the platform that will RUN the kernels: the mesh's devices
+            # when sharded (a CPU mesh under a TPU-default backend must
+            # not pick Pallas), the default backend otherwise
+            platform = (
+                self.config.mesh.devices.flat[0].platform
+                if self.config.mesh is not None
+                else jax.default_backend()
             )
+            backend = "pallas" if platform == "tpu" and vmem_ok else "xla"
         self.backend = backend
         self.mesh = self.config.mesh
         # dispatch-amortization group for the grouped fused path ("pallas"
@@ -525,7 +529,10 @@ class PackedPairsEngine:
                 ),
             )
             if self.mesh is not None:
-                k_sorted = self._exact_sharded_planes(x, n_pad)
+                if self.config.mesh_state == "sharded":
+                    k_sorted = self._exact_sharded_planes_rows(x, n_pad)
+                else:
+                    k_sorted = self._exact_sharded_planes(x, n_pad)
             else:
                 k_sorted = self._planes_to_host(self._compute_planes(x, n_pad))
         # undo the length sort
@@ -735,10 +742,84 @@ class PackedPairsEngine:
         np.fill_diagonal(k_full, diag_pad)
         return k_full[: self.n, : self.n]
 
+    def _exact_sharded_planes_rows(self, x, n_pad: int) -> np.ndarray:
+        """Rows-sharded mesh planes (KernelConfig.mesh_state="sharded",
+        the default): each device owns a contiguous plane row block
+        [n_digits, blk, n_pad] with a c_max halo and sweeps its strips
+        against ALL strips (ordered pairs,
+        ops/pairs_packed.py:strip_block_rows_update) — per-device memory
+        O(N^2/n_dev); overlapping halo extents add on host assembly.
+        Integer-identical to the replicated path and the single device."""
+        from ..parallel import sharding as shd
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        spd = -(-self.n_strips // n_dev)  # strips per device = rounds
+        fs = np.asarray(self.pack["first_seq"])
+        row0 = np.zeros(n_dev, np.int32)
+        blk = self.c_max
+        for d in range(n_dev):
+            s0 = d * spd
+            s1 = min(s0 + spd, self.n_strips)
+            if s0 < self.n_strips:
+                row0[d] = fs[s0]
+                blk = max(blk, int(fs[s1 - 1]) + self.c_max - int(fs[s0]))
+        a_assign = np.full((n_dev, spd), self.n_strips, np.int32)
+        for d in range(n_dev):
+            s0 = d * spd
+            s1 = min(s0 + spd, self.n_strips)
+            if s0 < self.n_strips:
+                a_assign[d, : s1 - s0] = np.arange(s0, s1)
+
+        dev_sharding = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec(
+                (shd.ROWS_AXIS, shd.THETA_AXIS), None, None, None
+            ),
+        )
+        dev_rows = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS), None),
+        )
+        dev_vec = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS))
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        blocks = jnp.zeros(
+            (n_dev, self.n_digits, blk, n_pad), jnp.int32, device=dev_sharding
+        )
+        x = jax.device_put(x, rep)
+        seq_of = jax.device_put(self._seq_of, rep)
+        first_seq = jax.device_put(self._first_seq, rep)
+        bounds = jax.device_put(self._bounds, rep)
+        a_dev = jax.device_put(a_assign, dev_rows)
+        r0_dev = jax.device_put(row0, dev_vec)
+        for ridx in range(spd):
+            blocks = shd.packed_round_rowsharded(
+                blocks, x, seq_of, first_seq, bounds, a_dev, r0_dev,
+                jnp.int32(ridx),
+                mesh=mesh, g=self.g, k=self.k, tile=self.tile,
+                c_max=self.c_max, n_strips=self.n_strips,
+                n_digits=self.n_digits, digit_base=self.digit_base,
+                backend=self.backend,
+            )
+        blocks_host = shd.host_gather(blocks)
+        rows_total = max(int(row0.max()) + blk, n_pad)
+        planes = np.zeros((self.n_digits, rows_total, n_pad), np.int64)
+        for d in range(n_dev):
+            planes[:, row0[d] : row0[d] + blk] += blocks_host[d]
+        k_sorted = np.zeros((self.n, self.n), dtype=np.int64)
+        for dig in range(self.n_digits):
+            k_sorted += (self.digit_base**dig) * planes[dig][
+                : self.n, : self.n
+            ]
+        return k_sorted
+
     def _exact_sharded_planes(self, x, n_pad: int) -> np.ndarray:
         """Mesh-parallel strips, round-robin: each device accumulates its
         strips' contributions into a private digit-plane replica; the host
-        sums replicas (each (a, b) pair lands on exactly one device)."""
+        sums replicas (each (a, b) pair lands on exactly one device)
+        (KernelConfig.mesh_state="replicated")."""
         from ..parallel import sharding as shd
 
         mesh = self.mesh

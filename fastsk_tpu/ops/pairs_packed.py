@@ -151,75 +151,24 @@ def strip_planes_update(
     (ops/pairs_packed_pallas.py) — the s1 values are bit-identical, so the
     shared int32 stage 2 below produces the same kernel either way.
     """
-    from .pairs import binom_exact
-
-    xa = jax.lax.dynamic_slice_in_dim(x, a_strip * tile, tile, axis=0)
-    seq_a = jax.lax.dynamic_slice_in_dim(seq_of, a_strip * tile, tile, axis=0)
+    xa, ga, ga_pad = _strip_a_operands(
+        x, seq_of, first_seq, a_strip,
+        tile=tile, c_max=c_max, backend=backend,
+    )
     fa = first_seq[a_strip]
-    # G_a [c_max, tile] one-hot over local seq ids (padding rows match none)
-    local_a = jnp.where(seq_a >= 0, seq_a - fa, -1)
-    ga = (
-        local_a[None, :] == jnp.arange(c_max, dtype=jnp.int32)[:, None]
-    ).astype(jnp.bfloat16)
-    if backend == "pallas":
-        from .pairs_packed_pallas import packed_s1_pallas
-
-        c_pad = -(-c_max // 16) * 16  # bf16 sublane-tile alignment
-        ga_pad = jnp.pad(ga, ((0, c_pad - c_max), (0, 0)))
 
     def body(b, planes):
         fb = first_seq[b]
-        bnd = bounds[b]  # [c_max]
         not_same = (b != a_strip).astype(jnp.int32)
-
-        if backend == "pallas":
-            s1_all = packed_s1_pallas(
-                x, ga_pad, a_strip, b,
-                g=g, k=k, tile=tile, c_pad=c_pad,
-                n_digits=n_digits, digit_base=digit_base,
-                interpret=interpret,
-            )[:, :c_max, :]  # [n_digits, c_max, tile] f32
-        else:
-            xb = jax.lax.dynamic_slice_in_dim(x, b * tile, tile, axis=0)
-            d = jax.lax.dot_general(
-                xa, xb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [tile, tile] — match counts, exact
-            rem = binom_exact(d, k)
-            s1_list = []
-            for dig in range(n_digits):
-                if dig + 1 < n_digits:
-                    q = jnp.floor(rem * (1.0 / digit_base))
-                    digit = rem - q * float(digit_base)
-                    rem = q
-                else:
-                    digit = rem
-                # stage 1: rows -> i sequences (digit <= 255: bf16-exact
-                # matmul; sums <= tile * 255 < 2^24: f32-exact)
-                s1_list.append(
-                    jax.lax.dot_general(
-                        ga, digit.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # [c_max, tile]
-            s1_all = jnp.stack(s1_list)
+        parts = _pair_parts(
+            x, xa, ga, ga_pad, a_strip, b, bounds,
+            g=g, k=k, tile=tile, c_max=c_max, n_digits=n_digits,
+            digit_base=digit_base, backend=backend, interpret=interpret,
+        )  # [n_digits, c_max, c_max] int32
 
         out_planes = []
         for dig in range(n_digits):
-            s1 = s1_all[dig]
-            # stage 2: columns -> j sequences via int32 cumsum + boundary
-            # gather (running sums <= tile^2 * 255 < 2^31: int32-exact)
-            cum = jnp.cumsum(s1.astype(jnp.int32), axis=1)
-            at_bounds = jnp.take(
-                cum, jnp.clip(bnd - 1, 0, tile - 1), axis=1
-            )  # [c_max, c_max]
-            at_bounds = jnp.where((bnd > 0)[None, :], at_bounds, 0)
-            prev = jnp.concatenate(
-                [jnp.zeros((c_max, 1), jnp.int32), at_bounds[:, :-1]], axis=1
-            )
-            part = at_bounds - prev  # [c_i, c_j] int32
-
+            part = parts[dig]
             # add P at (fa, fb); for a != b also P^T at (fb, fa) so every
             # ordered row pair counts exactly once (incl. strip-straddling
             # sequences). The second read sees the first write, so
@@ -236,6 +185,135 @@ def strip_planes_update(
         return tuple(out_planes)
 
     return jax.lax.fori_loop(a_strip, n_strips, body, tuple(planes))
+
+
+def _strip_a_operands(x, seq_of, first_seq, a_strip, *, tile, c_max, backend):
+    """Slice strip a's window rows and build its one-hot row->local-seq
+    map G_a [c_max, tile] (padding rows match none)."""
+    xa = jax.lax.dynamic_slice_in_dim(x, a_strip * tile, tile, axis=0)
+    seq_a = jax.lax.dynamic_slice_in_dim(seq_of, a_strip * tile, tile, axis=0)
+    fa = first_seq[a_strip]
+    local_a = jnp.where(seq_a >= 0, seq_a - fa, -1)
+    ga = (
+        local_a[None, :] == jnp.arange(c_max, dtype=jnp.int32)[:, None]
+    ).astype(jnp.bfloat16)
+    ga_pad = None
+    if backend == "pallas":
+        c_pad = -(-c_max // 16) * 16  # bf16 sublane-tile alignment
+        ga_pad = jnp.pad(ga, ((0, c_pad - c_max), (0, 0)))
+    return xa, ga, ga_pad
+
+
+def _pair_parts(
+    x, xa, ga, ga_pad, a_strip, b, bounds,
+    *, g, k, tile, c_max, n_digits, digit_base, backend, interpret,
+):
+    """Digit-plane contributions of ordered strip pair (a, b):
+    ``[n_digits, c_max, c_max]`` int32 — counts between the sequences of
+    strip a (rows) and strip b (columns). Generic in (a, b): used both by
+    the triangular single/replicated sweep (b >= a, with the transpose
+    written at (fb, fa)) and the rows-sharded sweep (all ordered b)."""
+    from .pairs import binom_exact
+
+    bnd = bounds[b]  # [c_max]
+    if backend == "pallas":
+        from .pairs_packed_pallas import packed_s1_pallas
+
+        c_pad = ga_pad.shape[0]
+        s1_all = packed_s1_pallas(
+            x, ga_pad, a_strip, b,
+            g=g, k=k, tile=tile, c_pad=c_pad,
+            n_digits=n_digits, digit_base=digit_base,
+            interpret=interpret,
+        )[:, :c_max, :]  # [n_digits, c_max, tile] f32
+    else:
+        xb = jax.lax.dynamic_slice_in_dim(x, b * tile, tile, axis=0)
+        d = jax.lax.dot_general(
+            xa, xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tile, tile] — match counts, exact
+        rem = binom_exact(d, k)
+        s1_list = []
+        for dig in range(n_digits):
+            if dig + 1 < n_digits:
+                q = jnp.floor(rem * (1.0 / digit_base))
+                digit = rem - q * float(digit_base)
+                rem = q
+            else:
+                digit = rem
+            # stage 1: rows -> i sequences (digit <= 255: bf16-exact
+            # matmul; sums <= tile * 255 < 2^24: f32-exact)
+            s1_list.append(
+                jax.lax.dot_general(
+                    ga, digit.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # [c_max, tile]
+        s1_all = jnp.stack(s1_list)
+
+    # stage 2: columns -> j sequences via int32 cumsum + boundary
+    # gather (running sums <= tile^2 * 255 < 2^31: int32-exact)
+    cum = jnp.cumsum(s1_all.astype(jnp.int32), axis=2)
+    at_bounds = jnp.take(
+        cum, jnp.clip(bnd - 1, 0, tile - 1), axis=2
+    )  # [n_digits, c_max, c_max]
+    at_bounds = jnp.where((bnd > 0)[None, None, :], at_bounds, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros((n_digits, c_max, 1), jnp.int32), at_bounds[:, :, :-1]],
+        axis=2,
+    )
+    return at_bounds - prev  # [n_digits, c_i, c_j] int32
+
+
+def strip_block_rows_update(
+    block: jnp.ndarray,  # [n_digits, blk, Np] int32: this device's rows
+    x: jnp.ndarray,  # [R, gA] bf16
+    seq_of: jnp.ndarray,  # [R] int32
+    first_seq: jnp.ndarray,  # [n_strips] int32
+    bounds: jnp.ndarray,  # [n_strips, c_max] int32
+    a_strip: jnp.ndarray,  # scalar int32; >= n_strips -> dead round (no-op)
+    row0: jnp.ndarray,  # scalar int32: global plane row of block[:, 0, :]
+    *,
+    g: int,
+    k: int,
+    tile: int,
+    c_max: int,
+    n_strips: int,
+    n_digits: int,
+    digit_base: int = 256,
+    backend: str = "xla",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Rows-sharded sweep unit: strip a against ALL strips b (ordered
+    pairs), writing only rows (fa - row0, fb) of the caller's plane row
+    block. With every ordered (a, b) computed by the owner of a, the
+    union of all blocks is the full plane — no transpose writes, so no
+    write ever leaves a device's row block (mesh_state="sharded").
+    Twice the D-matmul work of the triangular sweep, split across the
+    whole mesh. Dead rounds (a_strip >= n_strips) contribute exactly 0."""
+    live = (a_strip < n_strips).astype(jnp.int32)
+    a_c = jnp.minimum(a_strip, n_strips - 1)
+    xa, ga, ga_pad = _strip_a_operands(
+        x, seq_of, first_seq, a_c, tile=tile, c_max=c_max, backend=backend,
+    )
+    fa_local = first_seq[a_c] - row0
+
+    def body(b, block):
+        parts = _pair_parts(
+            x, xa, ga, ga_pad, a_c, b, bounds,
+            g=g, k=k, tile=tile, c_max=c_max, n_digits=n_digits,
+            digit_base=digit_base, backend=backend, interpret=interpret,
+        ) * live
+        fb = first_seq[b]
+        cur = jax.lax.dynamic_slice(
+            block, (0, fa_local, fb), (n_digits, c_max, c_max)
+        )
+        return jax.lax.dynamic_update_slice(
+            block, cur + parts, (0, fa_local, fb)
+        )
+
+    return jax.lax.fori_loop(0, n_strips, body, block)
 
 
 packed_strip_update = functools.partial(

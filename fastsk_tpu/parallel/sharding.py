@@ -531,4 +531,69 @@ def packed_round_sharded(
             P(), P(), P(), P(), P(),
         ),
         out_specs=P((ROWS_AXIS, THETA_AXIS), None, None, None),
+        # the fused Pallas stage-1 kernel's out_shape carries no vma
+        # annotation; disable the check (no cross-device collectives in
+        # this body — each device only touches its own block)
+        check_vma=False,
     )(planes_dev, x, seq_of, first_seq, bounds, round_idx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "g", "k", "tile", "c_max", "n_strips", "n_digits",
+        "digit_base", "backend",
+    ),
+)
+def packed_round_rowsharded(
+    blocks_dev: jnp.ndarray,  # [n_dev, n_digits, blk, Np] int32, dev-sharded
+    x: jnp.ndarray,  # [R, gA] bf16, replicated
+    seq_of: jnp.ndarray,  # [R] int32, replicated
+    first_seq: jnp.ndarray,  # [n_strips] int32, replicated
+    bounds: jnp.ndarray,  # [n_strips, c_max] int32, replicated
+    a_assign: jnp.ndarray,  # [n_dev, rounds] int32, dev-sharded (n_strips=dead)
+    row0_dev: jnp.ndarray,  # [n_dev] int32, dev-sharded: block's global row
+    round_idx: jnp.ndarray,  # scalar int32
+    *,
+    mesh: Mesh,
+    g: int,
+    k: int,
+    tile: int,
+    c_max: int,
+    n_strips: int,
+    n_digits: int,
+    digit_base: int,
+    backend: str = "xla",
+):
+    """One round of the rows-sharded packed engine
+    (KernelConfig.mesh_state="sharded"): each device owns a contiguous
+    plane ROW BLOCK ([n_digits, blk, Np], blk ~ Np/n_dev + halo) and this
+    round runs its assigned strip a against ALL strips b (ordered pairs
+    — no transpose writes ever leave the block). Blocks from different
+    devices overlap only in the c_max halo where strip-straddling
+    sequences live; the host adds overlapping extents on assembly.
+    Per-device memory is O(N^2 / n_dev) at 2x the triangular sweep's
+    D-matmul work, split across the mesh."""
+    from ..ops import pairs_packed
+
+    def local(blocks_l, x_r, seq_r, fs_r, bd_r, aas, r0s, ridx):
+        out = pairs_packed.strip_block_rows_update(
+            blocks_l[0], x_r, seq_r, fs_r, bd_r, aas[0, ridx], r0s[0],
+            g=g, k=k, tile=tile, c_max=c_max, n_strips=n_strips,
+            n_digits=n_digits, digit_base=digit_base, backend=backend,
+        )
+        return out[None]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P((ROWS_AXIS, THETA_AXIS), None, None, None),
+            P(), P(), P(), P(),
+            P((ROWS_AXIS, THETA_AXIS), None),
+            P((ROWS_AXIS, THETA_AXIS)),
+            P(),
+        ),
+        out_specs=P((ROWS_AXIS, THETA_AXIS), None, None, None),
+        check_vma=False,  # see packed_round_sharded
+    )(blocks_dev, x, seq_of, first_seq, bounds, a_assign, row0_dev, round_idx)

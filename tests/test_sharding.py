@@ -184,3 +184,51 @@ def test_exact_engine_non_power_of_two_mesh(rng):
         enc, 6, 3, KernelConfig(pairs_backend="xla")
     ).exact()
     np.testing.assert_array_equal(k_mesh, k_one)
+
+
+def test_packed_rowsharded_memory_layout(rng, mesh8):
+    """mesh_state="sharded" (default) gives each device a plane ROW BLOCK
+    [n_digits, blk, Np] with blk ~ Np/n_dev + halo — assert addressable
+    shards shrink and both states match the single device exactly."""
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
+    from fastsk_tpu.ops.encode import encode_sequences
+    from fastsk_tpu.parallel import sharding as shd
+
+    orig = PackedPairsEngine.TILE
+    PackedPairsEngine.TILE = 64
+    try:
+        X = random_ragged_seqs(rng, 24, 10, 60, alphabet=4)
+        enc = encode_sequences(X)
+        k1 = PackedPairsEngine(enc, 6, 3, KernelConfig()).exact()
+
+        eng = PackedPairsEngine(enc, 6, 3, KernelConfig(mesh=mesh8))
+        assert eng.config.mesh_state == "sharded"
+        seen = {}
+        orig_fn = shd.packed_round_rowsharded
+
+        def spy(blocks, *a, **kw):
+            out = orig_fn(blocks, *a, **kw)
+            seen["shards"] = [s.data.shape for s in out.addressable_shards]
+            seen["global"] = out.shape
+            return out
+
+        shd.packed_round_rowsharded = spy
+        try:
+            k2 = eng.exact()
+        finally:
+            shd.packed_round_rowsharded = orig_fn
+        np.testing.assert_array_equal(k1, k2)
+        n_pad = eng.n + eng.c_pad
+        # each shard holds ONE row block: [1, n_digits, blk, n_pad] with
+        # blk well below the full plane height
+        assert seen["global"][0] == 8 and seen["global"][3] == n_pad
+        blk = seen["global"][2]
+        assert blk < n_pad
+        assert all(s == (1, eng.n_digits, blk, n_pad) for s in seen["shards"])
+
+        k3 = PackedPairsEngine(
+            enc, 6, 3, KernelConfig(mesh=mesh8, mesh_state="replicated")
+        ).exact()
+        np.testing.assert_array_equal(k1, k3)
+    finally:
+        PackedPairsEngine.TILE = orig

@@ -17,6 +17,7 @@ engine upstream.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -383,6 +384,33 @@ _build_gb_all_jit = jax.jit(
 _build_ga_all_jit = jax.jit(
     _pairs_packed.build_ga_all, static_argnames=("tile", "c_pad")
 )
+_build_gb_land_jit = jax.jit(
+    _pairs_packed.build_gb_land, static_argnames=("tile", "c_land")
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "n_digits"))
+def _bands_to_planes_jit(bands, first_seq, *, n_pad: int, n_digits: int):
+    """Land the band sweep's row bands onto digit planes: one scatter-add
+    of n_strips dense [n_digits, c_pad, w] windows at rows first_seq[a]
+    (windows overlap only in the c_max halo where strip-straddling
+    sequences live; adds compose). Returns the usual tuple of
+    [n_pad, n_pad] planes (upper-complete; callers mirror)."""
+    n_strips, nd, c_pad, w = bands.shape
+    planes_w = jnp.zeros((n_digits, n_pad, w), jnp.int32)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1,),
+    )
+    planes_w = jax.lax.scatter_add(
+        planes_w,
+        first_seq[:, None],
+        bands,  # [n_strips, nd, c_pad, w] — already the update layout
+        dnums,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+    return tuple(planes_w[d, :, :n_pad] for d in range(n_digits))
 
 
 class PackedPairsEngine:
@@ -498,6 +526,8 @@ class PackedPairsEngine:
         dev = self.config.device
         self._ids = jax.device_put(jnp.asarray(ids_sorted), dev)
         self._seq_of = jax.device_put(jnp.asarray(self.pack["seq_of"]), dev)
+        # band-path planes are upper-complete only; consumers mirror
+        self._planes_upper_only = False
         self._win_of = jax.device_put(jnp.asarray(self.pack["win_of"]), dev)
         self._first_seq = jax.device_put(jnp.asarray(self.pack["first_seq"]), dev)
         self._bounds = jax.device_put(jnp.asarray(self.pack["bounds"]), dev)
@@ -541,12 +571,18 @@ class PackedPairsEngine:
         return k_sorted[np.ix_(pos, pos)].astype(np.int64, copy=False)
 
     def _compute_planes(self, x, n_pad: int):
-        """Digit planes for the single-device backends (pallas pair-list
-        sweep / grouped fused strips / blocked XLA strips)."""
+        """Digit planes for the single-device backends (pallas band
+        sweep / pair-list sweep / grouped fused strips / blocked XLA
+        strips). The band path returns UPPER-COMPLETE planes (lower
+        triangle partial — callers mirror; see ``_planes_upper_only``)."""
+        import os
+
         from ..ops import pairs_packed
 
         if self.backend == "pallas":
-            return self._pairlist_planes(x, n_pad)
+            if os.environ.get("FASTSK_PACKED_PAIRLIST") == "1":
+                return self._pairlist_planes(x, n_pad)
+            return self._band_planes(x, n_pad)
         planes = tuple(
             jnp.zeros((n_pad, n_pad), jnp.int32)
             for _ in range(self.n_digits)
@@ -624,6 +660,8 @@ class PackedPairsEngine:
                 k_sorted += (self.digit_base**dig) * np.asarray(
                     planes[dig], dtype=np.int64
                 )[: self.n, : self.n]
+            if getattr(self, "_planes_upper_only", False):
+                k_sorted = np.triu(k_sorted) + np.triu(k_sorted, 1).T
             return k_sorted[np.ix_(pos, pos)]
         k32 = pairs_packed.combine_planes_int32(
             tuple(planes), digit_base=self.digit_base
@@ -632,6 +670,62 @@ class PackedPairsEngine:
         full = full[: self.n, : self.n]
         full = jnp.take(jnp.take(full, pos, axis=0), pos, axis=1)
         return DeviceCounts(full)
+
+    def _band_planes(self, x, n_pad: int):
+        """Band Pallas sweep: ONE fused dispatch over every upper-triangle
+        strip pair, each strip a accumulating its full plane row band in
+        VMEM (ops/pairs_packed_pallas.py:packed_band_pallas) — no
+        per-pair scatter (the pair-list path's residual 0.4 s on protein
+        1.1) and no transpose part copies (sequences are packed in order,
+        so the upper triangle is complete from (fa, fb) landings alone;
+        consumers mirror — which the transfer-optimized host pull and the
+        device-resident path already did)."""
+        from ..ops.pairs_packed_pallas import packed_band_pallas
+
+        ns = self.n_strips
+        c_land = -(-(self.c_pad + 128) // 128) * 128
+        ga_all = _build_ga_all_jit(
+            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+        )
+        gb_all = _build_gb_land_jit(
+            self._seq_of, self._first_seq, tile=self.tile, c_land=c_land
+        )
+        first_seq = np.asarray(self.pack["first_seq"])
+        pa = np.repeat(np.arange(ns, dtype=np.int32), np.arange(ns, 0, -1))
+        pb = np.concatenate(
+            [np.arange(a, ns, dtype=np.int32) for a in range(ns)]
+        )
+        # Diagonal completeness: a sequence straddling strips a < b makes
+        # K[s, s] need BOTH w_a*w_b and w_b*w_a cross terms, and only the
+        # first lands upper from pair (a, b). Whenever the transposed
+        # block (fb, fa) reaches the diagonal (fb < fa + c_pad), add the
+        # reversed pair (b, a) — the kernel is direction-generic, so
+        # part(b, a) IS the transposed block, landed in strip b's band.
+        # All other transposed entries are strictly lower-triangle and
+        # come back via the final mirror.
+        rev = (first_seq[pb] < first_seq[pa] + self.c_pad) & (pb > pa)
+        pa_all = np.concatenate([pa, pb[rev]])
+        pb_all = np.concatenate([pb, pa[rev]])
+        order = np.argsort(pa_all, kind="stable")  # bands need sorted a
+        pa = pa_all[order].astype(np.int32)
+        pb = pb_all[order].astype(np.int32)
+        fbv = (first_seq[pb] // 128).astype(np.int32)  # landing block
+        live = np.ones(len(pa), np.int32)
+        w = -(-n_pad // 128) * 128 + c_land
+        bands = packed_band_pallas(
+            x, ga_all, gb_all,
+            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(fbv),
+            jnp.asarray(live),
+            g=self.g, k=self.k, tile=self.tile, c_pad=self.c_pad,
+            c_land=c_land, w=w, n_strips=ns, n_digits=self.n_digits,
+            digit_base=self.digit_base, interpret=self.interpret,
+        )
+        planes = _bands_to_planes_jit(
+            bands, jnp.asarray(first_seq.astype(np.int32)),
+            n_pad=n_pad, n_digits=self.n_digits,
+        )
+        self._planes_upper_only = True
+        return planes
 
     def _pairlist_planes(self, x, n_pad: int):
         """Pair-list Pallas sweep: the upper-triangle strip pairs are
@@ -713,6 +807,8 @@ class PackedPairsEngine:
                 k_sorted += (self.digit_base**dig) * np.asarray(
                     planes[dig], dtype=np.int64
                 )[: self.n, : self.n]
+            if getattr(self, "_planes_upper_only", False):
+                k_sorted = np.triu(k_sorted) + np.triu(k_sorted, 1).T
             return k_sorted
 
         ts = 128

@@ -586,3 +586,25 @@ def upper_tiles(k32: jnp.ndarray, *, tile: int) -> jnp.ndarray:
         dtype=jnp.int32,
     )
     return jnp.take(t.reshape(npt * npt, tile, tile), idx, axis=0)
+
+
+def build_gb_land(
+    seq_of: jnp.ndarray,  # [R] int32
+    first_seq: jnp.ndarray,  # [n_strips] int32
+    *,
+    tile: int,
+    c_land: int,
+) -> jnp.ndarray:
+    """Landing-aligned column map for the band kernel ``[R, c_land]``
+    bf16: row r of strip b maps to column ``seq_of[r] - align128(fb)``
+    where ``fb = first_seq[b]`` — the fb % 128 residue is baked into the
+    one-hot so the kernel's in-VMEM band add can start at the 128-aligned
+    column block below fb (Mosaic requires provably aligned lane starts).
+    Requires ``c_land >= c_max + 127``."""
+    r = seq_of.shape[0]
+    strip_of = jnp.arange(r, dtype=jnp.int32) // tile
+    fb = first_seq[strip_of]
+    base = (fb // 128) * 128
+    local = jnp.where(seq_of >= 0, seq_of - base, -1)
+    iota = jnp.arange(c_land, dtype=jnp.int32)
+    return (local[:, None] == iota[None, :]).astype(jnp.bfloat16)

@@ -342,8 +342,10 @@ def packed_pairlist_pallas(
     r, f = x.shape
     assert r % tile == 0, (r, tile)
     (s,) = pa.shape
+    import os
+    cap = int(os.environ.get("FASTSK_D_CAP_MB", "8")) * 2**20
     chunk = tile
-    while tile * chunk * 4 > 4 * 2**20:
+    while tile * chunk * 4 > cap:
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk
@@ -478,3 +480,223 @@ def packed_part_pallas(
         ),
         interpret=interpret,
     )(ab, x, x, ga, gb_all)
+
+
+# --------------------------------------------------------------------------
+# Band variant: the pair-list kernel's remaining XLA-side cost is the
+# scatter-add of 2S [c_pad, c_pad] part blocks onto the digit planes
+# (~0.4 s of protein 1.1's 1.05 s device wall). Here each strip a
+# accumulates its ENTIRE plane row band [n_digits, c_pad, W] in VMEM
+# across all its (a, b) pairs — the pair list is sorted by a, so the
+# band lives in the out block and Pallas's revisit semantics flush it to
+# HBM exactly once, when a changes. Two structural wins:
+#
+# - no scatter: the XLA side lands n_strips dense bands (one
+#   dynamic-slice add each) instead of 2S scattered windows;
+# - no transpose copies: with sequences packed in order, every window of
+#   seq i precedes every window of seq j > i, so the strip pair
+#   (strip(u), strip(v)) of any window pair of (i < j) always has
+#   a <= b — the upper triangle of the assembled matrix is COMPLETE from
+#   the (fa, fb) landings alone, and callers reconstruct the lower
+#   triangle by mirroring (which exact_device / _planes_to_host already
+#   do; the engine's band path mirrors in its int64 fallback too).
+#
+# Exactness: the per-pair part arithmetic is the identical D -> binomial
+# -> digit -> stage-1 -> byte-split sequence of the pair-list kernel;
+# only the landing changed, and int32 adds commute.
+# --------------------------------------------------------------------------
+
+
+def _packed_band_kernel(
+    pa_ref,  # [S] int32 scalar prefetch: a strip per slot (sorted)
+    pb_ref,  # [S] int32 scalar prefetch: b strip per slot (0 for pads)
+    fb_ref,  # [S] int32 scalar prefetch: first_seq[b] // 128 (block index)
+    live_ref,  # [S] int32 scalar prefetch: 0 for padding slots
+    xa_ref,  # [T, F] bf16/int8 — strip a rows
+    xb_ref,  # [chunk, F] bf16/int8 — strip b column chunk
+    ga_ref,  # [1, c_pad, T] bf16
+    gb_ref,  # [chunk, c_land] bf16 — one-hot pre-shifted by fb % 128
+    band_ref,  # out [1, n_digits, c_pad, W] int32 — strip a's row band
+    part_ref,  # [n_digits, c_pad, c_land] int32 scratch
+    *,
+    g: int,
+    k: int,
+    n_digits: int,
+    digit_base: int,
+    n_bytes: int,
+    n_chunks: int,
+    c_pad: int,
+    c_land: int,
+):
+    p = pl.program_id(0)
+    c = pl.program_id(1)
+    a_first = (p == 0) | (pa_ref[p] != pa_ref[jnp.maximum(p - 1, 0)])
+
+    @pl.when(a_first & (c == 0))
+    def _():
+        band_ref[...] = jnp.zeros(band_ref.shape, band_ref.dtype)
+
+    @pl.when(c == 0)
+    def _():
+        part_ref[...] = jnp.zeros(part_ref.shape, part_ref.dtype)
+
+    live = (live_ref[p] > 0).astype(jnp.float32)
+    int8_in = xa_ref.dtype == jnp.int8
+    d = jax.lax.dot_general(
+        xa_ref[:],
+        xb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32 if int8_in else jnp.float32,
+    )  # [T, chunk] — match counts, exact small integers
+    if int8_in:
+        d = d.astype(jnp.float32)
+    rem = binom_weight(d, g, k) * live
+    ga = ga_ref[0]  # [c_pad, T]
+    gb = gb_ref[:]  # [chunk, c_pad]
+    for dig in range(n_digits):
+        if dig + 1 < n_digits:
+            q = jnp.floor(rem * (1.0 / digit_base))
+            digit = rem - q * float(digit_base)
+            rem = q
+        else:
+            digit = rem
+        s1 = jax.lax.dot_general(
+            ga,
+            digit.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [c_pad, chunk], exact integers < 2^24
+        for byte in range(n_bytes):
+            b_val = jnp.bitwise_and(
+                jax.lax.shift_right_logical(s1, 8 * byte), 0xFF
+            )
+            m = jax.lax.dot_general(
+                b_val.astype(jnp.bfloat16),
+                gb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            part_ref[dig] += (1 << (8 * byte)) * m.astype(jnp.int32)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        # Mosaic requires lane starts provably 128-aligned: fb_ref holds
+        # the landing COLUMN BLOCK (fb // 128) and gb's one-hot columns
+        # are pre-shifted by the fb % 128 residue (build_gb_land), so
+        # the in-VMEM add starts exactly at a lane-tile boundary.
+        col0 = fb_ref[p] * 128
+        for dig in range(n_digits):
+            band_ref[0, dig, :, pl.ds(col0, c_land)] += part_ref[dig]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "k", "tile", "c_pad", "c_land", "w", "n_strips", "n_digits",
+        "digit_base", "interpret",
+    ),
+)
+def packed_band_pallas(
+    x: jnp.ndarray,  # [R, F] bf16/int8 packed one-hot window rows
+    ga_all: jnp.ndarray,  # [n_strips, c_pad, tile] bf16
+    gb_all: jnp.ndarray,  # [R, c_land] bf16 (build_gb_land: fb%128-shifted)
+    pa: jnp.ndarray,  # [S] int32 — a strip per slot, sorted ascending
+    pb: jnp.ndarray,  # [S] int32 — b strip per slot (0 on pads)
+    fb: jnp.ndarray,  # [S] int32 — first_seq[pb] // 128 (block index)
+    live: jnp.ndarray,  # [S] int32 — 0 on padding slots
+    *,
+    g: int,
+    k: int,
+    tile: int,
+    c_pad: int,
+    c_land: int,  # landing window width: round_up(c_pad + 128, 128)
+    w: int,  # band width (plane columns), multiple of 128
+    n_strips: int,
+    n_digits: int,
+    digit_base: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row bands ``[n_strips, n_digits, c_pad, w]`` int32: band a holds
+    the (fa, fb)-landed part blocks of every pair (a, b) — the full
+    upper-triangle sweep in ONE dispatch, no scatter."""
+    import os
+
+    r, f = x.shape
+    assert r % tile == 0, (r, tile)
+    (s,) = pa.shape
+    xsz = 1 if x.dtype == jnp.int8 else 2
+
+    def vmem_need(chunk):
+        # D tile + double-buffered operand blocks + resident band block
+        # + part scratch; must fit the 16 MB scoped-vmem budget
+        return (
+            tile * chunk * 4
+            + 2 * (tile * f + chunk * f) * xsz
+            + 2 * c_pad * tile * 2
+            + 2 * chunk * c_land * 2
+            + 2 * n_digits * c_pad * w * 4
+            + n_digits * c_pad * c_land * 4
+        )
+
+    cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20
+    chunk = tile
+    while chunk > 128 and vmem_need(chunk) > cap:
+        chunk //= 2
+    chunk = min(max(chunk, 128), tile)
+    n_chunks = tile // chunk
+    n_bytes = ((tile * (digit_base - 1)).bit_length() + 7) // 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(s, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, f), lambda p, c, pa, pb, fb, lv: (pa[p], 0)
+            ),
+            pl.BlockSpec(
+                (chunk, f),
+                lambda p, c, pa, pb, fb, lv, _n=n_chunks: (
+                    pb[p] * _n + c, 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, c_pad, tile), lambda p, c, pa, pb, fb, lv: (pa[p], 0, 0)
+            ),
+            pl.BlockSpec(
+                (chunk, c_land),
+                lambda p, c, pa, pb, fb, lv, _n=n_chunks: (
+                    pb[p] * _n + c, 0
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_digits, c_pad, w),
+            lambda p, c, pa, pb, fb, lv: (pa[p], 0, 0, 0),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_digits, c_pad, c_land), jnp.int32)],
+    )
+    kernel = functools.partial(
+        _packed_band_kernel,
+        g=g,
+        k=k,
+        n_digits=n_digits,
+        digit_base=digit_base,
+        n_bytes=n_bytes,
+        n_chunks=n_chunks,
+        c_pad=c_pad,
+        c_land=c_land,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_strips, n_digits, c_pad, w), jnp.int32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * tile * tile * f,
+            bytes_accessed=s * 3 * tile * f
+            + n_strips * n_digits * c_pad * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pa, pb, fb, live, x, x, ga_all, gb_all)

@@ -85,7 +85,15 @@ FastaResult* fasta_parse(const char* path, int32_t* vocab, int32_t* vocab_next,
       }
       std::string lab = line.substr(gt + 1, e - gt - 1);
       char* endp = nullptr;
-      double v = strtod(lab.c_str(), &endp);
+      double v;
+      if (regression) {
+        v = strtod(lab.c_str(), &endp);
+      } else {
+        // classification labels go through Python int(): reject
+        // float-looking strings like "1.0" exactly as int() does
+        v = (double)strtol(lab.c_str(), &endp, 10);
+        while (*endp && isspace((unsigned char)*endp)) endp++;
+      }
       if (endp == lab.c_str() || *endp != '\0') {
         fclose(f);
         return make_error(r, 3, "non-numeric label");

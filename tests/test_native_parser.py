@@ -82,3 +82,72 @@ def test_native_parse_speed_sanity():
     py_t = best_of(lambda: FastaUtility(use_native=False).read_data(path))
     nat_t = best_of(lambda: FastaUtility(use_native=True).read_data(path))
     assert nat_t < py_t, (nat_t, py_t)
+
+
+# ------------------------------------------------------------- fuzz/property
+
+
+def _gen_fasta(rng, path, n_seqs, crlf=False, long_lines=False):
+    """Random valid FASTA both readers must parse identically: varied
+    labels ({-1,0,1} with optional +, padding spaces), mixed-case
+    sequence bytes over letters/digits, blank lines, optional CRLF
+    endings, lines past the reference's STRMAXLEN=15000 (shared.h:4 —
+    unenforced in its pybind path, unbounded here), and a possibly
+    missing trailing newline."""
+    nl = "\r\n" if crlf else "\n"
+    alpha = "acgtnACGTNrykm"
+    parts = []
+    for i in range(n_seqs):
+        label = rng.choice(["-1", "0", "1", "+1", " 1", "1 "])
+        prefix = rng.choice(["", "seq"])
+        parts.append(f"{prefix}>{label}{nl}")
+        if rng.random() < 0.2:
+            parts.append(nl)  # blank line between records
+        length = (
+            int(rng.integers(15000, 16001))
+            if long_lines and rng.random() < 0.3
+            else int(rng.integers(1, 400))
+        )
+        seq = "".join(rng.choice(list(alpha), size=length))
+        last = i == n_seqs - 1
+        parts.append(seq + ("" if last and rng.random() < 0.3 else nl))
+    path.write_text("".join(parts))
+
+
+def test_native_fuzz_matches_python(tmp_path, rng):
+    for trial in range(25):
+        f = tmp_path / f"fuzz{trial}.fasta"
+        _gen_fasta(
+            rng, f,
+            n_seqs=int(rng.integers(1, 12)),
+            crlf=bool(rng.random() < 0.3),
+            long_lines=(trial % 5 == 0),
+        )
+        py = FastaUtility(use_native=False)
+        Xp, Yp = py.read_data(str(f))
+        nat = FastaUtility(use_native=True)
+        Xn, Yn = nat.read_data(str(f))
+        assert Yp == Yn, f"labels diverge on trial {trial}"
+        assert Xp == Xn, f"encodings diverge on trial {trial}"
+        assert py.vocab.size() == nat.vocab.size()
+
+
+@pytest.mark.parametrize(
+    "content",
+    [
+        ">1.0\nacgt\n",  # float-looking label: python int() rejects
+        ">2\nacgt\n",  # out-of-range classification label
+        ">1x\nacgt\n",  # trailing junk after the number
+        ">\nacgt\n",  # empty label
+        ">1>2\nacgt\n",  # multiple '>'
+        "acgt\n>1\n",  # sequence before any label line
+        ">1\n",  # label without sequence (unequal counts)
+    ],
+)
+def test_native_and_python_reject_the_same_inputs(tmp_path, content):
+    bad = tmp_path / "bad.fasta"
+    bad.write_text(content)
+    with pytest.raises((ValueError, AssertionError)):
+        loader.NativeFastaReader().read_data(str(bad))
+    with pytest.raises((ValueError, AssertionError)):
+        FastaUtility(use_native=False).read_data(str(bad))

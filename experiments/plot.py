@@ -398,6 +398,19 @@ def main(argv=None):
             plot_parity_scatter(pj, os.path.join(args.all, "parity_scatter.png"))
             plot_auc_bars(pj, os.path.join(args.all, "parity_auc_bars.png"))
             print(f"rendered parity figures from {pj}")
+        pjs = [
+            p for n in ("parity_full.json", "parity_full2.json",
+                        "parity_approx.json", "parity_approx2.json")
+            if os.path.exists(p := os.path.join(args.all, n))
+        ]
+        if pjs:
+            plot_auc_panels(pjs, os.path.join(args.all, "parity_auc_panels.png"))
+            print("rendered parity_auc_panels.png")
+        sp = os.path.join(args.all, "results_speedup", "suite_speedup.csv")
+        if os.path.exists(sp):
+            plot_speed_panels(sp, sp.replace("suite_speedup.csv",
+                                             "suite_speed_panels.png"))
+            print("rendered suite_speed_panels.png")
 
 
 if __name__ == "__main__":
@@ -446,5 +459,122 @@ def plot_auc_bars(json_path, out):
     ax.set_ylim(0.5, 1.02)
     ax.set_ylabel("AUC")
     ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+# ------------------------------------------------------- paper panel figures
+
+_DOMAIN = {
+    **{d: "DNA (TFBS)" for d in (
+        "CTCF", "EP300", "EP300_47848", "JUND", "KAT2B", "RAD21", "SIN3A",
+        "TP53", "ZZZ3", "NR2C2", "Pbde", "Hek29", "Mcf7")},
+    **{d: "protein (SCOP)" for d in (
+        "1.1", "1.34", "2.19", "2.31", "2.34", "2.41", "2.8", "3.19",
+        "3.25", "3.33", "3.50")},
+    **{d: "NLP" for d in (
+        "AImed", "BioInfer", "CC1-LLL", "CC2-IEPA", "CC3-HPRD50",
+        "DrugBank", "MedLine", "sentiment", "webkb")},
+}
+_DOMAIN_ORDER = ["DNA (TFBS)", "protein (SCOP)", "NLP"]
+
+
+def _merge_parity(json_paths):
+    import json
+
+    rows = {}
+    for path in json_paths:
+        for r in json.load(open(path)):
+            rows.setdefault(r["dataset"], {}).update(r)
+    return rows
+
+
+def plot_auc_panels(json_paths, out):
+    """Table1/Table2-style all-dataset AUC panels (one per domain):
+    grouped bars of our exact / our approx / published exact AUC for
+    every dataset with parity data — the multi-dataset family of
+    results/plot.py:44-1587 the single-CSV generators didn't cover."""
+    rows = _merge_parity(json_paths)
+    panels = {d: [] for d in _DOMAIN_ORDER}
+    for name, r in sorted(rows.items()):
+        dom = _DOMAIN.get(name)
+        if dom and r.get("exact_auc") is not None:
+            panels[dom].append((name, r))
+    panels = {d: v for d, v in panels.items() if v}
+
+    fig, axes = plt.subplots(
+        1, len(panels),
+        figsize=(1.1 + 0.52 * sum(len(v) for v in panels.values()), 3.4),
+        gridspec_kw={"width_ratios": [len(v) for v in panels.values()]},
+        squeeze=False,
+    )
+    for ax, (dom, items) in zip(axes[0], panels.items()):
+        idx = range(len(items))
+        w = 0.27
+        ax.bar([i - w for i in idx],
+               [r.get("exact_auc") or 0 for _, r in items], w,
+               label="ours exact")
+        ax.bar(list(idx),
+               [r.get("approx_auc") or float("nan") for _, r in items], w,
+               label="ours approx")
+        ax.bar([i + w for i in idx],
+               [r.get("published_exact") or float("nan") for _, r in items],
+               w, label="published exact", alpha=0.75)
+        ax.set_xticks(list(idx))
+        ax.set_xticklabels([n for n, _ in items], rotation=70,
+                           ha="right", fontsize=7)
+        ax.set_ylim(0.5, 1.03)
+        ax.set_title(dom, fontsize=9)
+        ax.grid(axis="y", alpha=0.25, lw=0.5)
+    axes[0][0].set_ylabel("test AUC")
+    axes[0][-1].legend(fontsize=7, loc="lower right")
+    fig.suptitle(
+        "AUC across the full published suite (Table1/Table2 analogue)",
+        fontsize=10,
+    )
+    fig.tight_layout(rect=(0, 0, 1, 0.95))
+    fig.savefig(out, dpi=150)
+
+
+def plot_speed_panels(csv_path, out):
+    """Figure5-style per-dataset kernel-time comparison: measured
+    reference C++ single-thread exact wall vs our steady TPU wall (log
+    scale), speedup annotated, grouped by domain."""
+    rows = _read(csv_path)
+    for r in rows:
+        r["_dom"] = _DOMAIN.get(r["dataset"], "other")
+    rows.sort(key=lambda r: (_DOMAIN_ORDER.index(r["_dom"])
+                             if r["_dom"] in _DOMAIN_ORDER else 9,
+                             r["dataset"]))
+    idx = range(len(rows))
+    fig, ax = plt.subplots(figsize=(1.5 + 0.55 * len(rows), 3.6))
+    w = 0.4
+    ax.bar([i - w / 2 for i in idx],
+           [float(r["ref_exact_s"]) for r in rows], w,
+           label="reference C++ exact (1 thread, measured)")
+    ax.bar([i + w / 2 for i in idx],
+           [float(r["ours_steady_s"]) for r in rows], w,
+           label="fastsk-tpu exact (1 chip, steady)")
+    for i, r in zip(idx, rows):
+        ax.annotate(f'{float(r["speedup"]):.0f}x',
+                    (i, float(r["ours_steady_s"])),
+                    textcoords="offset points", xytext=(8, 2),
+                    fontsize=7, rotation=90)
+    ax.set_yscale("log")
+    ax.set_xticks(list(idx))
+    ax.set_xticklabels(
+        [f'{r["dataset"]}\n(g{r["g"]} m{r["m"]})' for r in rows],
+        fontsize=7,
+    )
+    ax.set_ylabel("exact kernel wall (s, log)")
+    # domain separators
+    prev = None
+    for i, r in zip(idx, rows):
+        if prev is not None and r["_dom"] != prev:
+            ax.axvline(i - 0.5, color="gray", lw=0.6, alpha=0.5)
+        prev = r["_dom"]
+    ax.legend(fontsize=8)
+    ax.set_title("Exact kernel computation, per dataset (Figure5 analogue)",
+                 fontsize=10)
     fig.tight_layout()
     fig.savefig(out, dpi=150)

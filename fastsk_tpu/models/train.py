@@ -60,6 +60,7 @@ def train_model(
     epochs: int = 10,
     batch_size: int = 64,
     lr: float = 1e-3,
+    optimizer: str = "adam",
     max_len: Optional[int] = None,
     seed: int = 0,
     train_fraction: float = 1.0,
@@ -101,7 +102,14 @@ def train_model(
     else:
         raise ValueError(f"unknown model kind {model_kind!r}")
 
-    tx = optax.adam(lr)
+    # the reference's hyper-tune grid spans sgd and adam
+    # (results/neural_nets/cnn_hyperTrTune.py:59-60)
+    if optimizer == "adam":
+        tx = optax.adam(lr)
+    elif optimizer == "sgd":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     opt_state = tx.init(params)
 
     @jax.jit

@@ -425,6 +425,7 @@ class PackedPairsEngine:
     TILE = 2048
     GROUP = 8  # b strips per fused-Pallas call (amortizes op dispatch)
     SLAB_BYTES = 128 << 20  # pair-list parts-array budget per dispatch
+    BAND_SLOT_CAP = 55_000  # max prefetched pair-list slots (1 MB SMEM)
 
     def __init__(
         self,
@@ -514,6 +515,32 @@ class PackedPairsEngine:
             if backend == "pallas_grouped" and self.mesh is None
             else 1
         )
+
+        if backend == "pallas" and self.mesh is None:
+            # band sweep: the whole upper-triangle pair list rides SMEM
+            # scalar prefetch (4 int32 arrays of ~n_strips^2/2 slots,
+            # counted against the 16 MB scoped budget). Widen tiles until
+            # the list fits — legal here because the band kernel's
+            # byte-split stage 2 has no tile-bound cumsum invariant
+            # (unlike the XLA path's int32 running sums); the digit-base
+            # guard above is tile-independent. VMEM feasibility bounds
+            # the widening: the D tile can shrink to chunk=128 but the
+            # double-buffered [tile, F] operand blocks cannot.
+            f = g * self.alpha
+            rows_est = int((((np.maximum(lengths_sorted - g + 1, 0)
+                              + 7) // 8) * 8).sum())
+            while True:
+                ns_est = -(-rows_est // self.tile)
+                slots = ns_est * (ns_est + 1) // 2
+                if slots <= self.BAND_SLOT_CAP or self.tile >= 8192:
+                    break
+                # feasibility of the DOUBLED tile: int8 xa double-buffered
+                # + the minimum (chunk=128) D tile + ga/gb/band headroom
+                wide = 2 * self.tile
+                vmem_fixed = 2 * wide * f + wide * 128 * 4 + 5 * 2**20
+                if vmem_fixed > 14 * 2**20:
+                    break  # _band_planes falls back to the pair-list sweep
+                self.tile = wide
 
         self.pack = pairs_packed.pack_windows(
             lengths_sorted, g, self.tile, self.group
@@ -706,6 +733,11 @@ class PackedPairsEngine:
         rev = (first_seq[pb] < first_seq[pa] + self.c_pad) & (pb > pa)
         pa_all = np.concatenate([pa, pb[rev]])
         pb_all = np.concatenate([pb, pa[rev]])
+        if len(pa_all) > int(1.5 * self.BAND_SLOT_CAP):
+            # the prefetched slot lists would blow the scoped SMEM
+            # budget even at the widened tile (very long documents, e.g.
+            # webkb): use the slabbed pair-list sweep instead
+            return self._pairlist_planes(x, n_pad)
         order = np.argsort(pa_all, kind="stable")  # bands need sorted a
         pa = pa_all[order].astype(np.int32)
         pb = pb_all[order].astype(np.int32)

@@ -628,7 +628,8 @@ def packed_band_pallas(
 
     def vmem_need(chunk):
         # D tile + double-buffered operand blocks + resident band block
-        # + part scratch; must fit the 16 MB scoped-vmem budget
+        # + part scratch + the prefetched slot lists (4 int32 arrays of
+        # s slots ride the same scoped budget); must fit ~16 MB
         return (
             tile * chunk * 4
             + 2 * (tile * f + chunk * f) * xsz
@@ -636,6 +637,7 @@ def packed_band_pallas(
             + 2 * chunk * c_land * 2
             + 2 * n_digits * c_pad * w * 4
             + n_digits * c_pad * c_land * 4
+            + 4 * s * 4
         )
 
     cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20

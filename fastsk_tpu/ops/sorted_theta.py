@@ -281,7 +281,11 @@ def _slab_contrib(
     lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
 
     c_s = jnp.zeros((n, slab), jnp.float32)
-    c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
+    # (rank, seq) is unique per compacted pair entry and the compaction
+    # sort emits them in (rank, seq) order — both scatter hints hold
+    c_s = c_s.at[seqs, lrank].add(
+        cnts.astype(jnp.float32), unique_indices=True
+    )
     ks = _sym_gram(c_s, n, count_split, tri_blocks)
 
     # cross-slab correction: the run containing pair s0 may straddle
@@ -346,7 +350,9 @@ def _slab_contrib_rows(
     lrank = jnp.clip(ranks - base_rank, 0, slab - 1)
 
     c_s = jnp.zeros((n_pad, slab), jnp.float32)
-    c_s = c_s.at[seqs, lrank].add(cnts.astype(jnp.float32))
+    c_s = c_s.at[seqs, lrank].add(
+        cnts.astype(jnp.float32), unique_indices=True
+    )
     ops_all = _count_ops(c_s[:n], count_split)
     ops_rows = tuple(
         jax.lax.dynamic_slice_in_dim(o, row0, n_rows, axis=0)

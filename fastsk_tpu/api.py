@@ -27,6 +27,17 @@ from .kernel.sorted_engine import SortedGkmEngine
 from .ops.encode import EncodedSeqs, encode_sequences, validate_g
 
 
+def _collapse_shards(arr):
+    """A mesh-sharded device array -> one device (device-to-device
+    collect, no host round-trip): the SVM solvers and decision matvecs
+    are single-device programs (the fused Pallas SMO in particular)."""
+    import jax
+
+    if isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
+        return jax.device_put(arr, sorted(arr.sharding.device_set, key=str)[0])
+    return arr
+
+
 class FastSK:
     def __init__(
         self,
@@ -120,17 +131,26 @@ class FastSK:
         # device-resident mode: keep the counts on device and defer the
         # O(N^2) host pull (the workflow bottleneck through the remote
         # tunnel) until the host matrix is explicitly accessed; fit/score
-        # consume the kernel on device (kernel/device_counts.py)
-        use_dev = (
-            self.config.device_resident
-            and self.config.mesh is None
-            and self.config.checkpoint_path is None
-        )
+        # consume the kernel on device (kernel/device_counts.py).
+        # Checkpointed device runs snapshot to host at the opt-in cadence
+        # but the result stays on device; under a mesh the dense engine
+        # keeps ROWS-SHARDED DeviceCounts (other engines' mesh paths
+        # accumulate to host and fall through).
+        use_dev = self.config.device_resident
+        if self.config.mesh is not None and not isinstance(
+            engine, DenseGkmEngine
+        ):
+            use_dev = False
         self._counts_dev = None
         self._K_dev = None
         if self.approx:
-            dev_ok = use_dev and isinstance(
-                engine, (DenseGkmEngine, SortedGkmEngine)
+            # approx device_out stays single-device/non-checkpointed (the
+            # Welford state is not checkpointed on device)
+            dev_ok = (
+                use_dev
+                and self.config.mesh is None
+                and self.config.checkpoint_path is None
+                and isinstance(engine, (DenseGkmEngine, SortedGkmEngine))
             )
             res: ApproxResult = engine.approx(
                 conv_delta=self.delta,
@@ -313,7 +333,8 @@ class FastSK:
             raise ValueError("kernel must be 'linear', 'fastsk', or 'rbf'")
         ntr = self.n_str_train
         if self._K_dev is not None:
-            rows_train = self._K_dev[:ntr, :ntr]  # stays on device
+            # stays on device; mesh-sharded kernels collapse to one chip
+            rows_train = _collapse_shards(self._K_dev[:ntr, :ntr])
         else:
             rows_train = self._require_kernel()[:ntr, :ntr]
         gram = self._build_gram(rows_train, rows_train, kernel_type)
@@ -379,8 +400,8 @@ class FastSK:
         device when the kernel is device-resident)."""
         ntr = self.n_str_train
         if self._K_dev is not None:
-            rows_train = self._K_dev[:ntr, :ntr]
-            rows_test = self._K_dev[ntr:, :ntr]
+            rows_train = _collapse_shards(self._K_dev[:ntr, :ntr])
+            rows_test = _collapse_shards(self._K_dev[ntr:, :ntr])
         else:
             k = self._require_kernel()
             rows_train = k[:ntr, :ntr]

@@ -87,10 +87,6 @@ def main(argv=None) -> int:
     Xtrain, Ytrain = reader.read_data(args.train_file)
     Xtest, Ytest = (reader.read_data(args.test_file) if args.test_file else ([], []))
 
-    if args.device_resident and args.checkpoint:
-        print("--device-resident is incompatible with --checkpoint",
-              file=sys.stderr)
-        return 2
     if args.save_predictions and (args.no_svm or not args.test_file):
         print("--save-predictions requires a test file and a fitted SVM "
               "(drop --no-svm)", file=sys.stderr)

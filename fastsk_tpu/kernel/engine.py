@@ -213,18 +213,18 @@ class DenseGkmEngine:
         Same batching/spill cadence as ``_sum_thetas``, but spills carry
         completed 2**30-units into a second on-device int32 accumulator
         (kernel/device_counts.py) instead of pulling to a host int64 —
-        exact below 2**61 total counts, with no O(N^2) transfer.
-        Single-device, non-checkpointed runs only.
+        exact below 2**61 total counts, with no O(N^2) transfer on the
+        happy path. Checkpointing is supported: the opt-in snapshot every
+        ``checkpoint_every`` thetas pulls the lo/hi planes (resumability
+        inherently costs host persistence), but the RESULT stays on
+        device.
         """
+        import hashlib
+
         from .device_counts import DeviceCounts, _carry_spill
 
         if self.mesh is not None:
             raise ValueError("device-resident accumulation is single-device")
-        if self.config.checkpoint_path is not None:
-            raise ValueError(
-                "device-resident accumulation does not checkpoint; "
-                "use the host path for checkpointed runs"
-            )
         n = self.n
         lo = jnp.zeros((n, n), dtype=jnp.int32)
         hi = jnp.zeros((n, n), dtype=jnp.int32)
@@ -232,10 +232,23 @@ class DenseGkmEngine:
             lo = jax.device_put(lo, self.config.device)
             hi = jax.device_put(hi, self.config.device)
         kwargs = self._static_kwargs()
+        theta_tag = hashlib.sha256(
+            np.ascontiguousarray(thetas, dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        ckpt = self._checkpoint(f"sum_dev:{len(thetas)}:{theta_tag}")
         spilled = False
         since_spill = 0
+        since_ckpt = 0
         i = 0
         total = len(thetas)
+        if ckpt is not None and (saved := ckpt.load()) is not None:
+            lo = jnp.asarray(saved["lo"])
+            hi = jnp.asarray(saved["hi"])
+            spilled = bool(saved["spilled"])
+            i = int(saved["next_theta"])
+            if self.config.device is not None:
+                lo = jax.device_put(lo, self.config.device)
+                hi = jax.device_put(hi, self.config.device)
         while i < total:
             t = min(self.theta_batch, total - i)
             batch = jnp.asarray(thetas[i : i + t], dtype=jnp.int32)
@@ -244,20 +257,84 @@ class DenseGkmEngine:
             )
             i += t
             since_spill += t
+            since_ckpt += t
             if since_spill >= self.spill_every_thetas and i < total:
                 lo, hi = _carry_spill(lo, hi)
                 spilled = True
                 since_spill = 0
+            if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
+                # carry first so the saved lo honors the spill invariant
+                lo, hi = _carry_spill(lo, hi)
+                spilled = True
+                since_spill = 0
+                since_ckpt = 0
+                ckpt.save(
+                    lo=np.asarray(lo, np.int32),
+                    hi=np.asarray(hi, np.int32),
+                    spilled=np.bool_(True),
+                    next_theta=np.int64(i),
+                )
         return DeviceCounts(lo, hi if spilled else None)
 
+    def _sum_thetas_sharded_device(self, thetas: np.ndarray):
+        """Mesh device-resident exact sum: lo/hi stay ROWS-SHARDED
+        (kernel row blocks per device, the dense engine's layout) and the
+        final ``DeviceCounts`` holds the sharded planes — downstream
+        normalization/Gram run under jit, where GSPMD inserts the
+        collectives; nothing is pulled to the host."""
+        from ..parallel import sharding as shd
+        from .device_counts import DeviceCounts, _carry_spill
+
+        mesh = self.mesh
+        n_theta = mesh.shape[shd.THETA_AXIS]
+        np_pad = self.n_padded
+        batch_sz = max(self.theta_batch, 1) * n_theta
+        kwargs = self._static_kwargs()
+        lo = jnp.zeros(
+            (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
+        )
+        hi = jnp.zeros_like(lo)
+        spilled = False
+        since_spill = 0
+        i = 0
+        total = len(thetas)
+        while i < total:
+            t = min(batch_sz, total - i)
+            batch, mask = shd.pad_theta_batch(
+                np.asarray(thetas[i : i + t], dtype=np.int32), n_theta
+            )
+            lo = shd.exact_batch_update_sharded(
+                lo,
+                self._ids,
+                self._lengths,
+                jnp.asarray(batch),
+                jnp.asarray(mask),
+                mesh=mesh,
+                **kwargs,
+            )
+            i += t
+            since_spill += t
+            if since_spill >= self.spill_every_thetas and i < total:
+                lo, hi = _carry_spill(lo, hi)
+                spilled = True
+                since_spill = 0
+        # padded rows/cols carry zero counts; slice the live block (the
+        # slice of a sharded array stays sharded)
+        lo = lo[: self.n, : self.n]
+        hi = hi[: self.n, : self.n] if spilled else None
+        return DeviceCounts(lo, hi)
+
     def exact_device(self):
-        """Exact unnormalized kernel as device-resident ``DeviceCounts``."""
+        """Exact unnormalized kernel as device-resident ``DeviceCounts``
+        (single device, or rows-sharded under a mesh)."""
         thetas = enumerate_combinations(self.g, self.k)
         self.progress.log(
             f"dense exact (device-resident): {len(thetas)} passes over "
             f"{self.n} sequences"
         )
         with profiler_trace(self.config.profile_dir):
+            if self.mesh is not None:
+                return self._sum_thetas_sharded_device(thetas)
             return self._sum_thetas_device(thetas)
 
     def _sum_thetas_sharded(self, thetas: np.ndarray) -> np.ndarray:

@@ -316,14 +316,88 @@ def test_device_resident_save_kernel_roundtrip(rng, tmp_path):
         np.testing.assert_array_equal(z["counts"], host.kernel_counts)
 
 
-def test_device_resident_rejects_checkpoint(rng, tmp_path):
-    X = _uniform_seqs(rng, 10, 18)
+def test_device_resident_checkpoint_resume(rng, tmp_path):
+    """Device-resident + checkpointing compose: interrupt the dense
+    device accumulation mid-queue, resume in a fresh model, and the
+    RESULT is still device-resident with identical integers."""
+    import os
+
+    import pytest
+
+    from conftest import random_ragged_seqs
+    from fastsk_tpu.kernel import engine as engine_mod
+
+    X = random_ragged_seqs(rng, 12, 10, 16, alphabet=4)
+    ck = str(tmp_path / "ck.npz")
     cfg = KernelConfig(
-        device_resident=True, checkpoint_path=str(tmp_path / "ck")
+        device_resident=True, checkpoint_path=ck, checkpoint_every=8,
+        theta_batch=4, exact_engine="theta",
     )
-    f = FastSK(g=5, m=1, config=cfg)
-    f.compute_train(X)  # silently uses the host (checkpointable) path
-    assert f._counts_dev is None and f._counts is not None
+    ref = FastSK(g=8, m=4, config=KernelConfig(exact_engine="theta"))
+    ref.compute_train(X)
+
+    class Stop(Exception):
+        pass
+
+    orig = engine_mod.gkm.exact_batch_update
+    calls = {"n": 0}
+
+    def wrapped(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise Stop()
+        return orig(*a, **kw)
+
+    fsk1 = FastSK(g=8, m=4, config=cfg)
+    engine_mod.gkm.exact_batch_update = wrapped
+    try:
+        with pytest.raises(Stop):
+            fsk1.compute_train(X)
+    finally:
+        engine_mod.gkm.exact_batch_update = orig
+    assert os.path.exists(ck)
+
+    fsk2 = FastSK(g=8, m=4, config=cfg)
+    fsk2.compute_train(X)
+    assert fsk2._counts_dev is not None  # stayed device-resident
+    np.testing.assert_array_equal(ref.kernel_counts, fsk2.kernel_counts)
+
+
+def test_device_resident_mesh_rowsharded(rng):
+    """Device-resident under a mesh: the dense engine keeps ROWS-SHARDED
+    DeviceCounts (per-device kernel row blocks), fit/score run without a
+    host pull, and integers match the single-device host path."""
+    import jax
+
+    from conftest import random_ragged_seqs
+    from fastsk_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    X = random_ragged_seqs(rng, 20, 10, 16, alphabet=4)
+    Y = [i % 2 for i in range(len(X))]
+    cfg = KernelConfig(
+        device_resident=True, mesh=make_mesh(4, 2), exact_engine="theta"
+    )
+    f = FastSK(g=6, m=2, config=cfg)
+    f.compute_kernel(X[:14], X[14:], Y[:14], Y[14:])
+    assert f._counts_dev is not None
+    lo = f._counts_dev.lo
+    assert len(lo.sharding.device_set) > 1  # genuinely sharded
+    shard_rows = {s.data.shape[0] for s in lo.addressable_shards}
+    assert max(shard_rows) < lo.shape[0]  # row blocks, not replicas
+
+    ref = FastSK(g=6, m=2, config=KernelConfig(exact_engine="theta"))
+    ref.compute_kernel(X[:14], X[14:])
+    np.testing.assert_array_equal(ref.kernel_counts, f.kernel_counts)
+
+    f2 = FastSK(g=6, m=2, config=cfg)
+    f2.compute_kernel(X[:14], X[14:], Y[:14], Y[14:])
+    f2.fit(C=1.0, kernel_type="fastsk")
+    acc = f2.score("accuracy")
+    assert 0.0 <= acc <= 100.0
 
 
 def test_cli_device_resident_flag(tmp_path):
@@ -346,8 +420,10 @@ def test_cli_device_resident_flag(tmp_path):
     write_fasta(te, Xte, Yte)
     rc = main(["-g", "6", "-m", "2", "--device-resident", "-q", tr, te])
     assert rc == 0
+    # device-resident + checkpoint now compose (round 3): the run
+    # succeeds and snapshots at the checkpoint cadence
     rc = main([
         "-g", "6", "-m", "2", "--device-resident",
         "--checkpoint", str(tmp_path / "ck"), "-q", tr, te,
     ])
-    assert rc == 2
+    assert rc == 0

@@ -795,12 +795,18 @@ def _smo_solve_nu(
     alpha, grad, iters, _ = jax.lax.while_loop(
         cond, body, (alpha0, grad0, jnp.int32(0), jnp.float32(jnp.inf))
     )
+    alpha, rho, r = _finalize_nu(alpha, grad, y, C_vec)
+    return alpha, rho, r, iters
+
+
+def _finalize_nu(alpha, grad, y, C_vec):
+    """Snap bound residues, then the class-wise bias split: per-class r
+    from free-SV gradient averages, falling back to the midpoint of the
+    strict bound sets — raw G for BOTH classes, exactly libsvm
+    Solver_NU::calculate_rho (svm.cpp:1229-1280): ub from the lower-bound
+    set (alpha == 0), lb from the upper-bound set (== C)."""
     alpha = _snap_bounds(alpha, C_vec)
 
-    # per-class r from free-SV gradient averages, falling back to the
-    # midpoint of the strict bound sets — raw G for BOTH classes, exactly
-    # libsvm Solver_NU::calculate_rho (svm.cpp:1229-1280): ub from the
-    # lower-bound set (alpha == 0), lb from the upper-bound set (== C)
     def class_r(cls):
         mask = y == cls
         free = mask & (alpha > 0) & (alpha < C_vec)
@@ -815,7 +821,30 @@ def _smo_solve_nu(
     # svm.cpp:1276-1279: si->rho = (r1 - r2)/2, si->r = (r1 + r2)/2
     rho = (r1 - r2) / 2.0
     r = (r1 + r2) / 2.0
-    return alpha, rho, r, iters
+    return alpha, rho, r
+
+
+_finalize_nu_jit = None
+
+
+def _solve_nu(Q, y, C_vec, p, alpha0, eps, max_iter):
+    """Dispatch one Solver_NU solve: fused Pallas kernel on TPU at
+    scale, jitted lax.while_loop otherwise (same contract as
+    _solve_general)."""
+    n = int(Q.shape[0])
+    if _use_fused_smo(n):
+        from .smo_pallas import smo_solve_nu_fused
+
+        global _finalize_nu_jit
+        if _finalize_nu_jit is None:
+            _finalize_nu_jit = jax.jit(_finalize_nu)
+        interpret = jax.default_backend() != "tpu"
+        alpha, grad, iters = smo_solve_nu_fused(
+            Q, y, C_vec, p, alpha0, eps, max_iter, interpret=interpret
+        )
+        alpha, rho, r = _finalize_nu_jit(alpha, grad, y, C_vec)
+        return alpha, rho, r, iters
+    return _smo_solve_nu(Q, y, C_vec, p, alpha0, eps, max_iter)
 
 
 @dataclass
@@ -879,7 +908,7 @@ class NuSVC:
                 if left <= 0:
                     break
         Q = gram * np.outer(ys, ys)
-        alpha, rho, r, iters = _smo_solve_nu(
+        alpha, rho, r, iters = _solve_nu(
             jnp.asarray(Q),
             jnp.asarray(ys),
             jnp.ones(n, jnp.float32),
@@ -943,7 +972,7 @@ class NuSVR:
             left -= take
             if left <= 0:
                 break
-        alpha, rho, r, iters = _smo_solve_nu(
+        alpha, rho, r, iters = _solve_nu(
             jnp.asarray(Q2),
             jnp.asarray(y2),
             jnp.full(2 * n, self.C, jnp.float32),

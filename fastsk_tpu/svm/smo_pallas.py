@@ -235,3 +235,196 @@ def smo_solve_fused(
         interpret=interpret,
     )(q3, yp, cp, qdp, ap, gp, eps_arr)
     return alpha[0, :n], grad[0, :n], iters[0, 0]
+
+
+# --------------------------------------------------------------------------
+# Fused Solver_NU (LIBSVM svm.cpp:1029-1285): two equality constraints, so
+# the working pair is chosen within a class — the i candidate is computed
+# per class (ip from {y=+1, a<C} maximizing -G; in from {y=-1, a>0}
+# maximizing +G), j is the global second-order argmin across both classes,
+# and i follows j's class. Identical arithmetic, op for op, to
+# kernel_svm._smo_solve_nu's while_loop body; three row DMAs per
+# iteration (both i candidates + j).
+# --------------------------------------------------------------------------
+
+
+def _smo_nu_kernel(
+    q3,  # [npad/8, 8, npad] f32 in HBM/ANY
+    y_ref,  # (1, npad) VMEM
+    c_ref,  # (1, npad) VMEM
+    qd_ref,  # (1, npad) VMEM
+    a0_ref,  # (1, npad) VMEM
+    g0_ref,  # (1, npad) VMEM
+    eps_ref,  # (1, 1) SMEM
+    a_ref,  # (1, npad) VMEM out
+    g_ref,  # (1, npad) VMEM out
+    it_ref,  # (1, 1) SMEM int32 out
+    blk_p,  # (1, 8, npad) VMEM scratch
+    blk_n,  # (1, 8, npad) VMEM scratch
+    blk_j,  # (1, 8, npad) VMEM scratch
+    sem_p,
+    sem_n,
+    sem_j,
+    *,
+    max_iter: int,
+):
+    npad = y_ref.shape[1]
+    a_ref[:] = a0_ref[:]
+    g_ref[:] = g0_ref[:]
+    eps = eps_ref[0, 0]
+    y = y_ref[:]
+    C = c_ref[:]
+    qd = qd_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, npad), 0)
+
+    def fetch(i, blk, sem):
+        dma = pltpu.make_async_copy(q3.at[pl.ds(i // 8, 1)], blk, sem)
+        dma.start()
+        dma.wait()
+        return jnp.sum(
+            jnp.where(sub == (i % 8), blk[0], 0.0), axis=0, keepdims=True
+        )
+
+    def sel(vec, i):
+        return jnp.sum(jnp.where(lane == i, vec, 0.0))
+
+    pos = y > 0
+
+    def body(state):
+        it, _ = state
+        alpha = a_ref[:]
+        grad = g_ref[:]
+        # class-wise candidate sets (svm.cpp:1049-1068); padded lanes
+        # have y=+1, C=0, alpha=0 and never qualify
+        upP = pos & (alpha < C)
+        lowP = pos & (alpha > 0)
+        upN = ~pos & (alpha > 0)
+        lowN = ~pos & (alpha < C)
+        sp = jnp.where(upP, -grad, _NEG_INF)
+        gmaxp = jnp.max(sp)
+        ip = jnp.argmax(sp[0, :]).astype(jnp.int32)
+        sn = jnp.where(upN, grad, _NEG_INF)
+        gmaxn = jnp.max(sn)
+        in_ = jnp.argmax(sn[0, :]).astype(jnp.int32)
+        gmaxp2 = jnp.max(jnp.where(lowP, grad, _NEG_INF))
+        gmaxn2 = jnp.max(jnp.where(lowN, -grad, _NEG_INF))
+
+        row_p = fetch(ip, blk_p, sem_p)
+        row_n = fetch(in_, blk_n, sem_n)
+        qdp = sel(qd, ip)
+        qdn = sel(qd, in_)
+
+        # j: global second-order choice across both classes
+        # (svm.cpp:1078-1127)
+        bP = gmaxp + grad
+        bN = gmaxn - grad
+        aP = qdp + qd - 2.0 * row_p
+        aN = qdn + qd - 2.0 * row_n
+        objP = -(bP * bP) / jnp.maximum(aP, _TAU)
+        objN = -(bN * bN) / jnp.maximum(aN, _TAU)
+        candP = lowP & (bP > 0)
+        candN = lowN & (bN > 0)
+        obj_all = jnp.where(candP, objP, jnp.where(candN, objN, -_NEG_INF))
+        j = jnp.argmin(obj_all[0, :]).astype(jnp.int32)
+        yj_pos = sel(y, j) > 0
+        i = jnp.where(yj_pos, ip, in_)
+        row_i = jnp.where(yj_pos, row_p, row_n)
+        row_j = fetch(j, blk_j, sem_j)
+
+        qdi = jnp.where(yj_pos, qdp, qdn)
+        qdj = sel(qd, j)
+        qij = sel(row_i, j)
+        quad = qdi + qdj - 2.0 * qij
+        quad = jnp.where(quad <= 0, _TAU, quad)
+        ai = sel(alpha, i)
+        aj = sel(alpha, j)
+        gi = sel(grad, i)
+        gj = sel(grad, j)
+        ci = sel(C, i)
+        cj = sel(C, j)
+        delta = (gi - gj) / quad  # same-class pair update
+        s_term = ai + aj
+        lo_i = jnp.maximum(0.0, s_term - cj)
+        hi_i = jnp.minimum(ci, s_term)
+        new_ai = jnp.clip(ai - delta, lo_i, hi_i)
+        new_aj = s_term - new_ai
+        dai = new_ai - ai
+        daj = new_aj - aj
+        g_ref[:] = grad + row_i * dai + row_j * daj
+        a_ref[:] = jnp.where(
+            lane == i, new_ai, jnp.where(lane == j, new_aj, alpha)
+        )
+        viol = jnp.maximum(gmaxp + gmaxp2, gmaxn + gmaxn2)
+        return it + 1, viol
+
+    it, _ = jax.lax.while_loop(
+        lambda s: (s[0] < max_iter) & (s[1] >= eps),
+        body,
+        (jnp.int32(0), jnp.float32(jnp.inf)),
+    )
+    it_ref[0, 0] = it
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "interpret")
+)
+def smo_solve_nu_fused(
+    Q: jnp.ndarray,  # [n, n] f32, Q = (y y^T) * K
+    y: jnp.ndarray,  # [n] f32 {-1, +1}
+    C_vec: jnp.ndarray,  # [n] upper bounds
+    p: jnp.ndarray,  # [n] linear term
+    alpha0: jnp.ndarray,  # [n] feasible start (per-class sums fixed)
+    eps: float,
+    max_iter: int,
+    interpret: bool = False,
+):
+    """Loop portion of ``_smo_solve_nu``: returns (alpha, grad, iters);
+    the caller finalizes the class-wise rho/r exactly as the while_loop
+    solver does (kernel_svm._finalize_nu)."""
+    n = Q.shape[0]
+    npad = _bucket(n)
+    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
+    qd = jnp.diagonal(Q)
+
+    pad = npad - n
+    Qp = jnp.pad(Q.astype(jnp.float32), ((0, pad), (0, pad)))
+    q3 = Qp.reshape(npad // 8, 8, npad)
+    row = lambda v, fill: jnp.pad(
+        v.astype(jnp.float32), (0, pad), constant_values=fill
+    )[None, :]
+    eps_arr = jnp.full((1, 1), eps, jnp.float32)
+
+    alpha, grad, iters = pl.pallas_call(
+        functools.partial(_smo_nu_kernel, max_iter=max_iter),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 8, npad), jnp.float32),
+            pltpu.VMEM((1, 8, npad), jnp.float32),
+            pltpu.VMEM((1, 8, npad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(q3, row(y, 1.0), row(C_vec, 0.0), row(qd, 0.0),
+      row(alpha0, 0.0), row(grad0, 0.0), eps_arr)
+    return alpha[0, :n], grad[0, :n], iters[0, 0]

@@ -388,3 +388,45 @@ def test_fused_smo_matches_while_loop(rng):
     assert int(it_f) == int(it_r)
     np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
     assert float(rho_f) == float(rho_r)
+
+
+def test_fused_nu_smo_matches_while_loop(rng):
+    """smo_pallas.smo_solve_nu_fused (interpret mode) is Solver_NU op for
+    op: bit-identical iters/alpha/rho/r to _smo_solve_nu on a problem
+    small enough that tie-breaking never diverges."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.svm.kernel_svm import _finalize_nu, _smo_solve_nu
+    from fastsk_tpu.svm.smo_pallas import smo_solve_nu_fused
+
+    n = 40
+    X = rng.normal(size=(n, 4)).astype(np.float32)
+    K = (X @ X.T + n * np.eye(n)).astype(np.float32)
+    d = np.sqrt(np.diag(K))
+    K = (K / np.outer(d, d)).astype(np.float32)
+    y = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+    Q = jnp.asarray(K * np.outer(y, y))
+    yj = jnp.asarray(y)
+    C = jnp.ones(n, jnp.float32)
+    p = jnp.zeros(n, jnp.float32)
+    # LIBSVM nu initial point: fill each class up to nu*n/2
+    nu = 0.5
+    a0 = np.zeros(n, np.float32)
+    for cls in (1.0, -1.0):
+        left = nu * n / 2.0
+        for idx in np.flatnonzero(y == cls):
+            take = min(1.0, left)
+            a0[idx] = take
+            left -= take
+            if left <= 0:
+                break
+    a0 = jnp.asarray(a0)
+
+    a_f, g_f, it_f = smo_solve_nu_fused(
+        Q, yj, C, p, a0, 1e-3, 100000, interpret=True
+    )
+    a_f, rho_f, r_f = _finalize_nu(a_f, g_f, yj, C)
+    a_r, rho_r, r_r, it_r = _smo_solve_nu(Q, yj, C, p, a0, 1e-3, 100000)
+    assert int(it_f) == int(it_r)
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
+    assert float(rho_f) == float(rho_r) and float(r_f) == float(r_r)

@@ -151,3 +151,44 @@ def test_fused_smo_on_device(rng):
     assert viol < 2 * eps
     assert abs(float(rho_f) - float(rho_r)) < eps
     assert int(jnp.sum(a_f > 0)) == int(jnp.sum(a_r > 0))
+
+
+def test_fused_nu_smo_on_device(rng):
+    """Fused Solver_NU reaches the same point as the while_loop solver
+    on real hardware (rho/r within eps, same support size)."""
+    import jax.numpy as jnp
+
+    from fastsk_tpu.svm.kernel_svm import _finalize_nu, _smo_solve_nu
+    from fastsk_tpu.svm.smo_pallas import smo_solve_nu_fused
+    from fastsk_tpu.utils.observe import enable_compilation_cache
+
+    enable_compilation_cache()
+    n = 500
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    K = (X @ X.T + n * np.eye(n)).astype(np.float32)
+    d = np.sqrt(np.diag(K))
+    K = (K / np.outer(d, d)).astype(np.float32)
+    y = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+    Q = jnp.asarray(K * np.outer(y, y))
+    yj = jnp.asarray(y)
+    C = jnp.ones(n, jnp.float32)
+    p = jnp.zeros(n, jnp.float32)
+    nu = 0.5
+    a0 = np.zeros(n, np.float32)
+    for cls in (1.0, -1.0):
+        left = nu * n / 2.0
+        for idx in np.flatnonzero(y == cls):
+            take = min(1.0, left)
+            a0[idx] = take
+            left -= take
+            if left <= 0:
+                break
+    a0 = jnp.asarray(a0)
+    eps = 1e-3
+
+    a_f, g_f, it_f = smo_solve_nu_fused(Q, yj, C, p, a0, eps, 1_000_000)
+    a_f, rho_f, r_f = _finalize_nu(a_f, g_f, yj, C)
+    a_r, rho_r, r_r, it_r = _smo_solve_nu(Q, yj, C, p, a0, eps, 1_000_000)
+    assert abs(float(rho_f) - float(rho_r)) < eps
+    assert abs(float(r_f) - float(r_r)) < eps
+    assert int(jnp.sum(a_f > 0)) == int(jnp.sum(a_r > 0))

@@ -529,18 +529,30 @@ class PackedPairsEngine:
             f = g * self.alpha
             rows_est = int((((np.maximum(lengths_sorted - g + 1, 0)
                               + 7) // 8) * 8).sum())
-            while True:
-                ns_est = -(-rows_est // self.tile)
-                slots = ns_est * (ns_est + 1) // 2
-                if slots <= self.BAND_SLOT_CAP or self.tile >= 8192:
-                    break
-                # feasibility of the DOUBLED tile: int8 xa double-buffered
-                # + the minimum (chunk=128) D tile + ga/gb/band headroom
-                wide = 2 * self.tile
-                vmem_fixed = 2 * wide * f + wide * 128 * 4 + 5 * 2**20
-                if vmem_fixed > 14 * 2**20:
-                    break  # _band_planes falls back to the pair-list sweep
-                self.tile = wide
+
+            def _slots(tile):
+                ns_est = -(-rows_est // tile)
+                return ns_est * (ns_est + 1) // 2
+
+            if _slots(8192) > int(1.5 * self.BAND_SLOT_CAP):
+                # even the max tile cannot fit the slot list: the band
+                # path will fall back to the slabbed pair-list sweep,
+                # which prefers the default tile — don't widen
+                pass
+            else:
+                while True:
+                    if (
+                        _slots(self.tile) <= self.BAND_SLOT_CAP
+                        or self.tile >= 8192
+                    ):
+                        break
+                    # feasibility of the DOUBLED tile: int8 xa double-
+                    # buffered + minimum (chunk=128) D tile + headroom
+                    wide = 2 * self.tile
+                    vmem_fixed = 2 * wide * f + wide * 128 * 4 + 5 * 2**20
+                    if vmem_fixed > 14 * 2**20:
+                        break
+                    self.tile = wide
 
         self.pack = pairs_packed.pack_windows(
             lengths_sorted, g, self.tile, self.group

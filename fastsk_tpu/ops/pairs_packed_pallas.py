@@ -343,9 +343,24 @@ def packed_pairlist_pallas(
     assert r % tile == 0, (r, tile)
     (s,) = pa.shape
     import os
-    cap = int(os.environ.get("FASTSK_D_CAP_MB", "8")) * 2**20
+
+    xsz = 1 if x.dtype == jnp.int8 else 2
+
+    def vmem_need(chunk):
+        # D tile + double-buffered operands + part scratch + out block
+        # + the prefetched pair lists; must fit the 16 MB scoped budget
+        return (
+            tile * chunk * 4
+            + 2 * (tile * f + chunk * f) * xsz
+            + 2 * c_pad * tile * 2
+            + 2 * chunk * c_pad * 2
+            + 3 * n_digits * c_pad * c_pad * 4
+            + 2 * s * 4
+        )
+
+    cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20
     chunk = tile
-    while tile * chunk * 4 > cap:
+    while chunk > 128 and vmem_need(chunk) > cap:
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk

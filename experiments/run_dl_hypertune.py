@@ -42,8 +42,8 @@ def main(argv=None):
         help="optimizers (reference grid: sgd, adam)",
     )
     ap.add_argument(
-        "--lrs", type=float, nargs="*", default=[1e-2, 8e-3, 1e-3],
-        help="learning rates (reference grid: 1e-2, 3e-2, 8e-3 for sgd)",
+        "--lrs", type=float, nargs="*", default=[1e-2, 3e-2, 8e-3],
+        help="learning rates (the reference grid, cnn_hyperTrTune.py:60)",
     )
     ap.add_argument("--batches", type=int, nargs="*", default=[64, 128])
     ap.add_argument("--out", default=None)
@@ -78,7 +78,7 @@ def main(argv=None):
     out = args.out or (
         f"experiments/results_dl/{args.dataset}_{args.model}_hypertune.csv"
     )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader()

@@ -141,6 +141,14 @@ class FastSK:
             engine, DenseGkmEngine
         ):
             use_dev = False
+        if self.config.checkpoint_path is not None and not (
+            isinstance(engine, DenseGkmEngine) and self.config.mesh is None
+        ):
+            # only the single-device dense engine checkpoints its
+            # device-resident accumulation; a requested checkpoint must
+            # never be silently ignored — fall back to the host
+            # (checkpointable) paths for every other engine/mesh combo
+            use_dev = False
         self._counts_dev = None
         self._K_dev = None
         if self.approx:

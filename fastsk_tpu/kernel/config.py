@@ -84,3 +84,10 @@ class KernelConfig:
     profile_dir: Optional[str] = None
 
     quiet: bool = True
+
+    def __post_init__(self):
+        if self.mesh_state not in ("sharded", "replicated"):
+            raise ValueError(
+                "mesh_state must be 'sharded' or 'replicated'; got "
+                f"{self.mesh_state!r}"
+            )

@@ -300,6 +300,15 @@ class DenseGkmEngine:
         total = len(thetas)
         while i < total:
             t = min(batch_sz, total - i)
+            # carry BEFORE the add when this batch would exceed the int32
+            # headroom: the psum lands batch_sz = theta_batch * n_theta
+            # thetas on every row block at once, so the single-device
+            # margin (sized for one theta_batch of overshoot) does not
+            # cover a post-add check here
+            if since_spill + t > self.spill_every_thetas:
+                lo, hi = _carry_spill(lo, hi)
+                spilled = True
+                since_spill = 0
             batch, mask = shd.pad_theta_batch(
                 np.asarray(thetas[i : i + t], dtype=np.int32), n_theta
             )
@@ -314,10 +323,6 @@ class DenseGkmEngine:
             )
             i += t
             since_spill += t
-            if since_spill >= self.spill_every_thetas and i < total:
-                lo, hi = _carry_spill(lo, hi)
-                spilled = True
-                since_spill = 0
         # padded rows/cols carry zero counts; slice the live block (the
         # slice of a sharded array stays sharded)
         lo = lo[: self.n, : self.n]
@@ -373,6 +378,16 @@ class DenseGkmEngine:
             i = int(saved["next_theta"])
         while i < total:
             t = min(batch_sz, total - i)
+            # spill BEFORE the add: batch_sz = theta_batch * n_theta
+            # thetas land on every row block per step, more than the
+            # single-device overshoot margin covers (see the device
+            # variant below)
+            if since_spill + t > self.spill_every_thetas:
+                host_acc += shd.host_gather(k_acc)
+                k_acc = jnp.zeros(
+                    (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
+                )
+                since_spill = 0
             batch, mask = shd.pad_theta_batch(
                 np.asarray(thetas[i : i + t], dtype=np.int32), n_theta
             )
@@ -388,12 +403,6 @@ class DenseGkmEngine:
             i += t
             since_spill += t
             since_ckpt += t
-            if since_spill >= self.spill_every_thetas:
-                host_acc += shd.host_gather(k_acc)
-                k_acc = jnp.zeros(
-                    (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
-                )
-                since_spill = 0
             if ckpt is not None and since_ckpt >= self.config.checkpoint_every:
                 host_acc += shd.host_gather(k_acc)
                 k_acc = jnp.zeros(

@@ -745,10 +745,19 @@ class PackedPairsEngine:
         rev = (first_seq[pb] < first_seq[pa] + self.c_pad) & (pb > pa)
         pa_all = np.concatenate([pa, pb[rev]])
         pb_all = np.concatenate([pb, pa[rev]])
-        if len(pa_all) > int(1.5 * self.BAND_SLOT_CAP):
-            # the prefetched slot lists would blow the scoped SMEM
-            # budget even at the widened tile (very long documents, e.g.
-            # webkb): use the slabbed pair-list sweep instead
+        from ..ops.pairs_packed_pallas import band_vmem_feasible
+
+        w_est = -(-n_pad // 128) * 128 + c_land
+        if len(pa_all) > int(1.5 * self.BAND_SLOT_CAP) or not band_vmem_feasible(
+            tile=self.tile, f=self.g * self.alpha,
+            xsz=1 if x.dtype == jnp.int8 else 2,
+            c_pad=self.c_pad, c_land=c_land, w=w_est,
+            n_digits=self.n_digits, slots=len(pa_all),
+        ):
+            # the prefetched slot lists would blow the 1 MB SMEM budget,
+            # or the chunk-independent VMEM terms (band out block, part
+            # scratch) exceed the scoped cap at any chunk (very long
+            # documents / very large N): use the slabbed pair-list sweep
             return self._pairlist_planes(x, n_pad)
         order = np.argsort(pa_all, kind="stable")  # bands need sorted a
         pa = pa_all[order].astype(np.int32)

@@ -343,6 +343,16 @@ class SortedGkmEngine:
         total = len(thetas)
         since = 0
         for i in range(0, total, per_step):
+            # spill BEFORE the add when the chunk would exceed the int32
+            # headroom: the psum lands the whole chunk on every strip, so
+            # a post-add check could overshoot by per_step (the
+            # single-device path instead caps t to the remaining budget)
+            if not self._adaptive_spill and since + per_step > self.spill_every:
+                host += shd.host_gather(k_rows)[: self.n]
+                k_rows = jnp.zeros(
+                    (n_pad, self.n), jnp.int32, device=rows_sharding
+                )
+                since = 0
             chunk = thetas[i : i + per_step]
             live = np.zeros(per_step, dtype=np.int32)
             live[: len(chunk)] = 1
@@ -371,7 +381,7 @@ class SortedGkmEngine:
                     k_rows, per_step
                 )
             else:
-                spill = since >= self.spill_every
+                spill = False  # handled pre-add above
             if spill:
                 host += shd.host_gather(k_rows)[: self.n]
                 k_rows = jnp.zeros(

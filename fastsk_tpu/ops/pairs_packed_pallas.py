@@ -522,6 +522,40 @@ def packed_part_pallas(
 # --------------------------------------------------------------------------
 
 
+def band_vmem_need(
+    chunk, *, tile, f, xsz, c_pad, c_land, w, n_digits, slots
+):
+    """Scoped-memory estimate of one band-kernel step: D tile +
+    double-buffered operand blocks + resident band out block + part
+    scratch + the prefetched slot lists (4 int32 arrays, SMEM-resident
+    but counted against the same scoped budget)."""
+    return (
+        tile * chunk * 4
+        + 2 * (tile * f + chunk * f) * xsz
+        + 2 * c_pad * tile * 2
+        + 2 * chunk * c_land * 2
+        + 2 * n_digits * c_pad * w * 4
+        + n_digits * c_pad * c_land * 4
+        + 4 * slots * 4
+    )
+
+
+def band_vmem_feasible(
+    *, tile, f, xsz, c_pad, c_land, w, n_digits, slots
+) -> bool:
+    """True when the band kernel fits the scoped budget at SOME chunk —
+    the engine falls back to the slabbed pair-list sweep otherwise
+    (chunk-independent terms like the band block scale with tile and
+    plane width and can exceed the cap on their own)."""
+    import os
+
+    cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20
+    return band_vmem_need(
+        128, tile=tile, f=f, xsz=xsz, c_pad=c_pad, c_land=c_land,
+        w=w, n_digits=n_digits, slots=slots,
+    ) <= cap
+
+
 def _packed_band_kernel(
     pa_ref,  # [S] int32 scalar prefetch: a strip per slot (sorted)
     pb_ref,  # [S] int32 scalar prefetch: b strip per slot (0 for pads)
@@ -640,24 +674,12 @@ def packed_band_pallas(
     assert r % tile == 0, (r, tile)
     (s,) = pa.shape
     xsz = 1 if x.dtype == jnp.int8 else 2
-
-    def vmem_need(chunk):
-        # D tile + double-buffered operand blocks + resident band block
-        # + part scratch + the prefetched slot lists (4 int32 arrays of
-        # s slots ride the same scoped budget); must fit ~16 MB
-        return (
-            tile * chunk * 4
-            + 2 * (tile * f + chunk * f) * xsz
-            + 2 * c_pad * tile * 2
-            + 2 * chunk * c_land * 2
-            + 2 * n_digits * c_pad * w * 4
-            + n_digits * c_pad * c_land * 4
-            + 4 * s * 4
-        )
-
     cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20
     chunk = tile
-    while chunk > 128 and vmem_need(chunk) > cap:
+    while chunk > 128 and band_vmem_need(
+        chunk, tile=tile, f=f, xsz=xsz, c_pad=c_pad, c_land=c_land,
+        w=w, n_digits=n_digits, slots=s,
+    ) > cap:
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk

@@ -49,6 +49,72 @@ def _bucket(n: int) -> int:
     return max(_LANE_BUCKET, -(-n // _LANE_BUCKET) * _LANE_BUCKET)
 
 
+def _kernel_helpers(q3, npad):
+    """Shared in-kernel machinery: lane/sublane iotas, the dynamic-index
+    8-row-block DMA fetch, and the masked-reduction scalar read (lane-
+    dynamic VMEM scalar loads are not a Mosaic-supported addressing
+    mode). Used identically by the C-SVC and nu kernels."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, npad), 0)
+
+    def fetch(i, blk, sem):
+        dma = pltpu.make_async_copy(q3.at[pl.ds(i // 8, 1)], blk, sem)
+        dma.start()
+        dma.wait()
+        return jnp.sum(
+            jnp.where(sub == (i % 8), blk[0], 0.0), axis=0, keepdims=True
+        )
+
+    def sel(vec, i):
+        return jnp.sum(jnp.where(lane == i, vec, 0.0))
+
+    return lane, fetch, sel
+
+
+def _pad_and_call(kernel, Q, y, C_vec, p, alpha0, eps, max_iter, n_sems,
+                  interpret):
+    """Shared wrapper for both fused solvers: HIGHEST-precision grad0
+    (grad is only ever updated incrementally in-kernel), zero-padding to
+    the shape bucket with inert lanes (y=+1, C=0, alpha=0 join neither
+    I_up nor I_low; padded Q rows/cols are 0 so grad stays put), the
+    [npad/8, 8, npad] HBM view, and the pallas_call plumbing with
+    ``n_sems`` row-block scratch buffers."""
+    n = Q.shape[0]
+    npad = _bucket(n)
+    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
+    qd = jnp.diagonal(Q)
+
+    pad = npad - n
+    Qp = jnp.pad(Q.astype(jnp.float32), ((0, pad), (0, pad)))
+    q3 = Qp.reshape(npad // 8, 8, npad)
+    row = lambda v, fill: jnp.pad(
+        v.astype(jnp.float32), (0, pad), constant_values=fill
+    )[None, :]
+    eps_arr = jnp.full((1, 1), eps, jnp.float32)
+
+    alpha, grad, iters = pl.pallas_call(
+        functools.partial(kernel, max_iter=max_iter),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 8, npad), jnp.float32)] * n_sems
+        + [pltpu.SemaphoreType.DMA(())] * n_sems,
+        interpret=interpret,
+    )(q3, row(y, 1.0), row(C_vec, 0.0), row(qd, 0.0),
+      row(alpha0, 0.0), row(grad0, 0.0), eps_arr)
+    return alpha[0, :n], grad[0, :n], iters[0, 0]
+
+
 def _smo_kernel(
     # inputs
     q3,  # [npad/8, 8, npad] f32 in HBM/ANY
@@ -77,22 +143,7 @@ def _smo_kernel(
     y = y_ref[:]
     C = c_ref[:]
     qd = qd_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, npad), 0)
-
-    def fetch(i, blk, sem):
-        # DMA the 8-row block holding row i, then pick the sublane.
-        dma = pltpu.make_async_copy(q3.at[pl.ds(i // 8, 1)], blk, sem)
-        dma.start()
-        dma.wait()
-        return jnp.sum(
-            jnp.where(sub == (i % 8), blk[0], 0.0), axis=0, keepdims=True
-        )
-
-    def sel(vec, i):
-        # scalar read vec[0, i] as a masked reduction (lane-dynamic VMEM
-        # scalar loads are not a Mosaic-supported addressing mode)
-        return jnp.sum(jnp.where(lane == i, vec, 0.0))
+    lane, fetch, sel = _kernel_helpers(q3, npad)
 
     def body(state):
         it, _ = state
@@ -183,58 +234,10 @@ def smo_solve_fused(
     """Drop-in for the loop portion of ``_smo_solve_general``: returns
     (alpha, grad, iters) at the eps-KKT point; the caller finalizes rho
     (kernel_svm._finalize_rho) exactly as the while_loop solver does."""
-    n = Q.shape[0]
-    npad = _bucket(n)
-    # HIGHEST-precision grad0: grad is only ever updated incrementally
-    # from here (see the precision note in _smo_solve_general)
-    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
-    qd = jnp.diagonal(Q)
-
-    pad = npad - n
-    # padded lanes: y=+1, C=0, alpha=0 => excluded from I_up and I_low,
-    # never selected; padded Q rows/cols are 0 so grad stays put there
-    Qp = jnp.pad(Q.astype(jnp.float32), ((0, pad), (0, pad)))
-    q3 = Qp.reshape(npad // 8, 8, npad)
-    row = lambda v, fill: jnp.pad(
-        v.astype(jnp.float32), (0, pad), constant_values=fill
-    )[None, :]
-    yp = row(y, 1.0)
-    cp = row(C_vec, 0.0)
-    qdp = row(qd, 0.0)
-    ap = row(alpha0, 0.0)
-    gp = row(grad0, 0.0)
-    eps_arr = jnp.full((1, 1), eps, jnp.float32)
-
-    alpha, grad, iters = pl.pallas_call(
-        functools.partial(_smo_kernel, max_iter=max_iter),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, 8, npad), jnp.float32),
-            pltpu.VMEM((1, 8, npad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(q3, yp, cp, qdp, ap, gp, eps_arr)
-    return alpha[0, :n], grad[0, :n], iters[0, 0]
+    return _pad_and_call(
+        _smo_kernel, Q, y, C_vec, p, alpha0, eps, max_iter,
+        n_sems=2, interpret=interpret,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -275,19 +278,7 @@ def _smo_nu_kernel(
     y = y_ref[:]
     C = c_ref[:]
     qd = qd_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, npad), 0)
-
-    def fetch(i, blk, sem):
-        dma = pltpu.make_async_copy(q3.at[pl.ds(i // 8, 1)], blk, sem)
-        dma.start()
-        dma.wait()
-        return jnp.sum(
-            jnp.where(sub == (i % 8), blk[0], 0.0), axis=0, keepdims=True
-        )
-
-    def sel(vec, i):
-        return jnp.sum(jnp.where(lane == i, vec, 0.0))
+    lane, fetch, sel = _kernel_helpers(q3, npad)
 
     pos = y > 0
 
@@ -382,49 +373,7 @@ def smo_solve_nu_fused(
     """Loop portion of ``_smo_solve_nu``: returns (alpha, grad, iters);
     the caller finalizes the class-wise rho/r exactly as the while_loop
     solver does (kernel_svm._finalize_nu)."""
-    n = Q.shape[0]
-    npad = _bucket(n)
-    grad0 = jnp.matmul(Q, alpha0, precision=jax.lax.Precision.HIGHEST) + p
-    qd = jnp.diagonal(Q)
-
-    pad = npad - n
-    Qp = jnp.pad(Q.astype(jnp.float32), ((0, pad), (0, pad)))
-    q3 = Qp.reshape(npad // 8, 8, npad)
-    row = lambda v, fill: jnp.pad(
-        v.astype(jnp.float32), (0, pad), constant_values=fill
-    )[None, :]
-    eps_arr = jnp.full((1, 1), eps, jnp.float32)
-
-    alpha, grad, iters = pl.pallas_call(
-        functools.partial(_smo_nu_kernel, max_iter=max_iter),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, 8, npad), jnp.float32),
-            pltpu.VMEM((1, 8, npad), jnp.float32),
-            pltpu.VMEM((1, 8, npad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(q3, row(y, 1.0), row(C_vec, 0.0), row(qd, 0.0),
-      row(alpha0, 0.0), row(grad0, 0.0), eps_arr)
-    return alpha[0, :n], grad[0, :n], iters[0, 0]
+    return _pad_and_call(
+        _smo_nu_kernel, Q, y, C_vec, p, alpha0, eps, max_iter,
+        n_sems=3, interpret=interpret,
+    )

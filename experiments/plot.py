@@ -370,8 +370,19 @@ def main(argv=None):
     ap.add_argument("--all", metavar="DIR", help="render every known CSV in DIR")
     ap.add_argument("--csv", help="one CSV to render")
     ap.add_argument("--kind", choices=sorted(PLOTTERS), help="plot type for --csv")
+    ap.add_argument(
+        "--bigfig", nargs="+", metavar="CSV",
+        help="tile several datasets' CSVs of --kind into one grid "
+             "(the reference's bigfig_* family)",
+    )
+    ap.add_argument("--out", help="output PNG for --bigfig")
     args = ap.parse_args(argv)
 
+    if args.bigfig:
+        out = args.out or f"bigfig_{args.kind}.png"
+        plot_bigfig(args.bigfig, args.kind, out)
+        print(f"rendered {out}")
+        return
     if args.csv:
         PLOTTERS[args.kind](args.csv, args.csv.replace(".csv", ".png"))
         return
@@ -411,10 +422,6 @@ def main(argv=None):
             plot_speed_panels(sp, sp.replace("suite_speedup.csv",
                                              "suite_speed_panels.png"))
             print("rendered suite_speed_panels.png")
-
-
-if __name__ == "__main__":
-    main()
 
 
 def plot_parity_scatter(json_path, out):
@@ -578,3 +585,71 @@ def plot_speed_panels(csv_path, out):
                  fontsize=10)
     fig.tight_layout()
     fig.savefig(out, dpi=150)
+
+
+def plot_bigfig(csv_paths, kind, out):
+    """Multi-dataset sweep grid (the reference's bigfig_* family,
+    results/plot.py:312-833): one subplot per dataset CSV of the same
+    sweep kind (g_time / m_time / I_auc / delta_auc / stdev_I), shared
+    axes labels, dataset names as titles."""
+    single = {
+        "g_time": plot_g_time,
+        "m_time": plot_m_time,
+        "I_auc": plot_i_auc,
+        "delta_auc": plot_delta_auc,
+        "stdev_I": plot_stdev_i,
+    }[kind]
+    n = len(csv_paths)
+    cols = min(3, n)
+    rows_n = -(-n // cols)
+    fig = plt.figure(figsize=(4.2 * cols, 3.2 * rows_n))
+    for idx, path in enumerate(sorted(csv_paths)):
+        name = os.path.basename(path).replace(f"_{kind}.csv", "")
+        # each single-CSV generator draws on the current axes when given
+        # ax=...; they create their own figure otherwise — render to a
+        # temp figure and steal the axes content instead: simplest is to
+        # re-draw with the shared logic below.
+        ax = fig.add_subplot(rows_n, cols, idx + 1)
+        _draw_sweep(ax, path, kind)
+        ax.set_title(name, fontsize=9)
+    fig.suptitle(f"{kind} across datasets (bigfig analogue)", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 1, 0.95))
+    fig.savefig(out, dpi=150)
+
+
+def _draw_sweep(ax, path, kind):
+    rows = _read(path)
+    if kind == "g_time":
+        ts, to = _times(rows)
+        ax.plot([int(r["g"]) for r in rows], ts, marker="o", ms=3)
+        ax.set_xlabel("g (k=6)")
+        ax.set_ylabel("steady kernel s")
+        ax.set_yscale("log")
+    elif kind == "m_time":
+        ts, to = _times(rows)
+        ax.plot([int(r["m"]) for r in rows], ts, marker="o", ms=3)
+        ax.set_xlabel("m (g=16)")
+        ax.set_ylabel("steady kernel s")
+        ax.set_yscale("log")
+    elif kind == "I_auc":
+        ax.plot([int(r["I"]) for r in rows],
+                [float(r["auc"]) for r in rows], marker="o", ms=3)
+        ax.set_xscale("log")
+        ax.set_xlabel("iterations I")
+        ax.set_ylabel("AUC")
+    elif kind == "delta_auc":
+        ax.plot([float(r["delta"]) for r in rows],
+                [float(r["auc"]) for r in rows], marker="o", ms=3)
+        ax.set_xscale("log")
+        ax.set_xlabel("delta")
+        ax.set_ylabel("AUC")
+    elif kind == "stdev_I":
+        ax.plot([int(r["I"]) for r in rows],
+                [float(r["stdev"]) for r in rows], marker="o", ms=3)
+        ax.set_xlabel("iterations I")
+        ax.set_ylabel("stdev")
+    ax.grid(alpha=0.25, lw=0.5)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,11 @@ def main(argv=None):
         help="optimizers (reference grid: sgd, adam)",
     )
     ap.add_argument(
-        "--lrs", type=float, nargs="*", default=[1e-2, 3e-2, 8e-3],
-        help="learning rates (the reference grid, cnn_hyperTrTune.py:60)",
+        "--lrs", type=float, nargs="*",
+        default=[1e-2, 3e-2, 8e-3, 1e-3],
+        help="learning rates: the reference grid (cnn_hyperTrTune.py:60) "
+             "plus 1e-3, the adam-scale point the sgd-oriented reference "
+             "grid lacks",
     )
     ap.add_argument("--batches", type=int, nargs="*", default=[64, 128])
     ap.add_argument("--out", default=None)

@@ -46,9 +46,16 @@ def g_time(prefix, out, timeout):
     with f:
         for g in range(6, 21, 2):
             m = g - 6
-            first, steady, killed = time_fastsk(
-                g=g, m=m, prefix=prefix, timeout=timeout, detail=True
-            )
+            try:
+                first, steady, killed = time_fastsk(
+                    g=g, m=m, prefix=prefix, timeout=timeout, detail=True
+                )
+            except RuntimeError as e:
+                # per-point failures (e.g. g exceeds the dataset's
+                # shortest sequence, the reference's own hard limit,
+                # shared.cpp:400-412) skip the point, not the sweep
+                print(f"g={g} m={m}: skipped ({e})", flush=True)
+                continue
             w.writerow({"g": g, "m": m, "k": 6,
                         "compile_s": round(first, 3),
                         "steady_s": round(steady, 3),

@@ -188,7 +188,16 @@ def time_fastsk(
         proc.join()
         to = float(timeout)
         return (to, to, True) if detail else to
-    first, steady = q.get()
+    try:
+        # the child can CRASH without posting a result (engine rejection,
+        # OOM, device error): a bare q.get() would then block forever and
+        # hang the whole sweep — surface the failure instead
+        first, steady = q.get(timeout=5)
+    except Exception:
+        raise RuntimeError(
+            f"timed child exited (code {proc.exitcode}) without a result "
+            f"for g={g} m={m} prefix={prefix}"
+        ) from None
     return (first, steady, False) if detail else steady
 
 

@@ -156,7 +156,10 @@ def _use_fused_smo(n: int) -> bool:
     problems stay on the while_loop — each Pallas shape bucket pays one
     (cacheable) Mosaic compile, not worth it below ~2k rows.
     ``FASTSK_SMO_PALLAS=0`` disables, ``=1`` forces (any n, any backend
-    — used by the hermetic interpret-mode test).
+    — used by the hermetic interpret-mode test). Threshold 1024: the
+    published DNA sets have 2000-sequence training splits whose Platt
+    folds (n=1600) must ride the same 2048-lane bucket as the full
+    solve.
     """
     import os
 
@@ -165,7 +168,7 @@ def _use_fused_smo(n: int) -> bool:
         return False
     if env == "1":
         return True
-    return n >= 2048 and jax.default_backend() == "tpu"
+    return n >= 1024 and jax.default_backend() == "tpu"
 
 
 _finalize_rho_jit = None

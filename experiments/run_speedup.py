@@ -54,7 +54,13 @@ def reference_per_pass(train, test, g, m, passes=3) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="results_speedup/suite_speedup.csv")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results_speedup", "suite_speedup.csv",
+        ),  # anchored to the script, not the caller's cwd
+    )
     ap.add_argument("--datasets", nargs="*", help="subset of suite names")
     ap.add_argument("--ref-passes", type=int, default=3)
     args = ap.parse_args()

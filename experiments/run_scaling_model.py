@@ -113,12 +113,19 @@ def packed_rows(enc, g, m, mesh, n_dev):
             s0, s1 = d * spd, min((d + 1) * spd, ns)
             if s0 < ns:
                 blk = max(blk, int(fs[s1 - 1]) + eng.c_max - int(fs[s0]))
+        f = eng.g * eng.alpha
+        rows = eng.total_rows
+        shard_rows = -(-ns // n_dev) * eng.tile
         return dict(
-            engine="packed_rows",
-            state_bytes_per_dev=eng.n_digits * blk * n_pad * 4,
-            work_units_per_dev=f"{spd} strips x {ns} pairs (ordered)",
-            comm_bytes_per_dev_step=0,  # no collectives until final gather
-            steps=spd,
+            engine="packed_ring",
+            state_bytes_per_dev=(
+                eng.n_digits * blk * n_pad * 4 + shard_rows * f * 2
+            ),
+            work_units_per_dev=f"{spd}^2 x {n_dev} ring steps (ordered)",
+            # each shard visits every peer once: (D-1) ppermute hops of
+            # the [shard_rows, F] bf16 block
+            comm_bytes_per_dev_step=int((n_dev - 1) * shard_rows * f * 2),
+            steps=n_dev,
             n=enc.n,
         )
     finally:

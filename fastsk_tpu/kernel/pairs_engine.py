@@ -892,18 +892,21 @@ class PackedPairsEngine:
         return k_full[: self.n, : self.n]
 
     def _exact_sharded_planes_rows(self, x, n_pad: int) -> np.ndarray:
-        """Rows-sharded mesh planes (KernelConfig.mesh_state="sharded",
-        the default): each device owns a contiguous plane row block
-        [n_digits, blk, n_pad] with a c_max halo and sweeps its strips
-        against ALL strips (ordered pairs,
-        ops/pairs_packed.py:strip_block_rows_update) — per-device memory
-        O(N^2/n_dev); overlapping halo extents add on host assembly.
-        Integer-identical to the replicated path and the single device."""
+        """Ring-sharded mesh planes (KernelConfig.mesh_state="sharded",
+        the default): the window table is strip-sharded to match each
+        device's plane row block and travels the ring ONCE while every
+        device sweeps its own strips against each visiting shard
+        (parallel/sharding.py:packed_ring_rowsharded) — per-device
+        memory is O(N^2/n_dev) block + O(rows/n_dev) operands, nothing
+        replicated but the tiny strip metadata, one dispatch for the
+        whole kernel. Overlapping halo extents add on host assembly.
+        Integer-identical to the replicated path and the single device.
+        """
         from ..parallel import sharding as shd
 
         mesh = self.mesh
         n_dev = mesh.devices.size
-        spd = -(-self.n_strips // n_dev)  # strips per device = rounds
+        spd = -(-self.n_strips // n_dev)  # own strips per device
         fs = np.asarray(self.pack["first_seq"])
         row0 = np.zeros(n_dev, np.int32)
         blk = self.c_max
@@ -913,12 +916,18 @@ class PackedPairsEngine:
             if s0 < self.n_strips:
                 row0[d] = fs[s0]
                 blk = max(blk, int(fs[s1 - 1]) + self.c_max - int(fs[s0]))
-        a_assign = np.full((n_dev, spd), self.n_strips, np.int32)
-        for d in range(n_dev):
-            s0 = d * spd
-            s1 = min(s0 + spd, self.n_strips)
-            if s0 < self.n_strips:
-                a_assign[d, : s1 - s0] = np.arange(s0, s1)
+
+        # pad the window table to n_dev * spd strips (dead strips carry
+        # all-zero one-hot rows: D = 0 and C(0, k) = 0, so they
+        # contribute exactly nothing)
+        rows_pad = n_dev * spd * self.tile
+        f = x.shape[1]
+        x_p = jnp.pad(x, ((0, rows_pad - x.shape[0]), (0, 0)))
+        seq_p = np.pad(
+            np.asarray(self.pack["seq_of"]),
+            (0, rows_pad - x.shape[0]),
+            constant_values=-1,
+        )
 
         dev_sharding = jax.sharding.NamedSharding(
             mesh,
@@ -926,32 +935,38 @@ class PackedPairsEngine:
                 (shd.ROWS_AXIS, shd.THETA_AXIS), None, None, None
             ),
         )
-        dev_rows = jax.sharding.NamedSharding(
+        dev3 = jax.sharding.NamedSharding(
+            mesh,
+            jax.sharding.PartitionSpec(
+                (shd.ROWS_AXIS, shd.THETA_AXIS), None, None
+            ),
+        )
+        dev2 = jax.sharding.NamedSharding(
             mesh,
             jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS), None),
         )
-        dev_vec = jax.sharding.NamedSharding(
+        dev1 = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS))
         )
         rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         blocks = jnp.zeros(
             (n_dev, self.n_digits, blk, n_pad), jnp.int32, device=dev_sharding
         )
-        x = jax.device_put(x, rep)
-        seq_of = jax.device_put(self._seq_of, rep)
+        x_dev = jax.device_put(
+            np.asarray(x_p).reshape(n_dev, spd * self.tile, f), dev3
+        )
+        seq_dev = jax.device_put(
+            seq_p.reshape(n_dev, spd * self.tile).astype(np.int32), dev2
+        )
         first_seq = jax.device_put(self._first_seq, rep)
         bounds = jax.device_put(self._bounds, rep)
-        a_dev = jax.device_put(a_assign, dev_rows)
-        r0_dev = jax.device_put(row0, dev_vec)
-        for ridx in range(spd):
-            blocks = shd.packed_round_rowsharded(
-                blocks, x, seq_of, first_seq, bounds, a_dev, r0_dev,
-                jnp.int32(ridx),
-                mesh=mesh, g=self.g, k=self.k, tile=self.tile,
-                c_max=self.c_max, n_strips=self.n_strips,
-                n_digits=self.n_digits, digit_base=self.digit_base,
-                backend=self.backend,
-            )
+        r0_dev = jax.device_put(row0, dev1)
+        blocks = shd.packed_ring_rowsharded(
+            blocks, x_dev, seq_dev, first_seq, bounds, r0_dev,
+            mesh=mesh, spd=spd, g=self.g, k=self.k, tile=self.tile,
+            c_max=self.c_max, n_strips=self.n_strips,
+            n_digits=self.n_digits, digit_base=self.digit_base,
+        )
         blocks_host = shd.host_gather(blocks)
         rows_total = max(int(row0.max()) + blk, n_pad)
         planes = np.zeros((self.n_digits, rows_total, n_pad), np.int64)

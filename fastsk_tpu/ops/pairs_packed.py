@@ -266,56 +266,6 @@ def _pair_parts(
     return at_bounds - prev  # [n_digits, c_i, c_j] int32
 
 
-def strip_block_rows_update(
-    block: jnp.ndarray,  # [n_digits, blk, Np] int32: this device's rows
-    x: jnp.ndarray,  # [R, gA] bf16
-    seq_of: jnp.ndarray,  # [R] int32
-    first_seq: jnp.ndarray,  # [n_strips] int32
-    bounds: jnp.ndarray,  # [n_strips, c_max] int32
-    a_strip: jnp.ndarray,  # scalar int32; >= n_strips -> dead round (no-op)
-    row0: jnp.ndarray,  # scalar int32: global plane row of block[:, 0, :]
-    *,
-    g: int,
-    k: int,
-    tile: int,
-    c_max: int,
-    n_strips: int,
-    n_digits: int,
-    digit_base: int = 256,
-    backend: str = "xla",
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Rows-sharded sweep unit: strip a against ALL strips b (ordered
-    pairs), writing only rows (fa - row0, fb) of the caller's plane row
-    block. With every ordered (a, b) computed by the owner of a, the
-    union of all blocks is the full plane — no transpose writes, so no
-    write ever leaves a device's row block (mesh_state="sharded").
-    Twice the D-matmul work of the triangular sweep, split across the
-    whole mesh. Dead rounds (a_strip >= n_strips) contribute exactly 0."""
-    live = (a_strip < n_strips).astype(jnp.int32)
-    a_c = jnp.minimum(a_strip, n_strips - 1)
-    xa, ga, ga_pad = _strip_a_operands(
-        x, seq_of, first_seq, a_c, tile=tile, c_max=c_max, backend=backend,
-    )
-    fa_local = first_seq[a_c] - row0
-
-    def body(b, block):
-        parts = _pair_parts(
-            x, xa, ga, ga_pad, a_c, b, bounds,
-            g=g, k=k, tile=tile, c_max=c_max, n_digits=n_digits,
-            digit_base=digit_base, backend=backend, interpret=interpret,
-        ) * live
-        fb = first_seq[b]
-        cur = jax.lax.dynamic_slice(
-            block, (0, fa_local, fb), (n_digits, c_max, c_max)
-        )
-        return jax.lax.dynamic_update_slice(
-            block, cur + parts, (0, fa_local, fb)
-        )
-
-    return jax.lax.fori_loop(0, n_strips, body, block)
-
-
 packed_strip_update = functools.partial(
     jax.jit,
     static_argnames=(
@@ -608,3 +558,110 @@ def build_gb_land(
     local = jnp.where(seq_of >= 0, seq_of - base, -1)
     iota = jnp.arange(c_land, dtype=jnp.int32)
     return (local[:, None] == iota[None, :]).astype(jnp.bfloat16)
+
+
+def strip_block_shard_update(
+    block: jnp.ndarray,  # [n_digits, blk, Np] int32: this device's rows
+    x_own: jnp.ndarray,  # [spd * tile, gA] bf16: OWN strips' window rows
+    seq_own: jnp.ndarray,  # [spd * tile] int32: own rows' sequence ids
+    x_visit: jnp.ndarray,  # [spd * tile, gA] bf16: visiting shard's rows
+    first_seq: jnp.ndarray,  # [n_strips] int32 (replicated, tiny)
+    bounds: jnp.ndarray,  # [n_strips, c_max] int32 (replicated, tiny)
+    a_base: jnp.ndarray,  # scalar int32: global id of own strip 0
+    b_base: jnp.ndarray,  # scalar int32: global id of visiting strip 0
+    row0: jnp.ndarray,  # scalar int32: global plane row of block[:, 0, :]
+    *,
+    spd: int,
+    g: int,
+    k: int,
+    tile: int,
+    c_max: int,
+    n_strips: int,
+    n_digits: int,
+    digit_base: int = 256,
+) -> jnp.ndarray:
+    """Ring-step unit of the operand-sharded packed sweep: every own
+    strip a against every strip b of the VISITING shard (ordered pairs,
+    writes only rows (fa - row0, fb) of the caller's block — the same
+    landing discipline as the band kernel). Dead strips (global id >=
+    n_strips) contribute exactly zero: their padded window rows are
+    all-zero one-hots, so D = 0 and C(0, k) = 0 for k >= 1; a dead a
+    additionally masks via ``live``. Runs the XLA per-pair path (the
+    mesh backend); metadata indices clamp, so no padding of
+    first_seq/bounds is needed."""
+
+    def a_loop(ai, block):
+        a = a_base + ai
+        live = (a < n_strips).astype(jnp.int32)
+        a_c = jnp.minimum(a, n_strips - 1)
+        xa = jax.lax.dynamic_slice_in_dim(x_own, ai * tile, tile, axis=0)
+        seq_a = jax.lax.dynamic_slice_in_dim(seq_own, ai * tile, tile, axis=0)
+        fa = first_seq[a_c]
+        local_a = jnp.where(seq_a >= 0, seq_a - fa, -1)
+        ga = (
+            local_a[None, :] == jnp.arange(c_max, dtype=jnp.int32)[:, None]
+        ).astype(jnp.bfloat16)
+        fa_local = fa - row0
+
+        def b_loop(bi, block):
+            b = b_base + bi
+            b_c = jnp.minimum(b, n_strips - 1)
+            xb = jax.lax.dynamic_slice_in_dim(
+                x_visit, bi * tile, tile, axis=0
+            )
+            parts = _pair_parts_xla(
+                xa, xb, ga, bounds[b_c],
+                g=g, k=k, tile=tile, c_max=c_max,
+                n_digits=n_digits, digit_base=digit_base,
+            ) * live
+            fb = first_seq[b_c]
+            cur = jax.lax.dynamic_slice(
+                block, (0, fa_local, fb), (n_digits, c_max, c_max)
+            )
+            return jax.lax.dynamic_update_slice(
+                block, cur + parts, (0, fa_local, fb)
+            )
+
+        return jax.lax.fori_loop(0, spd, b_loop, block)
+
+    return jax.lax.fori_loop(0, spd, a_loop, block)
+
+
+def _pair_parts_xla(
+    xa, xb, ga, bnd,
+    *, g, k, tile, c_max, n_digits, digit_base,
+):
+    """XLA-path part blocks for one ordered strip pair given pre-sliced
+    operands (the shard-local form of ``_pair_parts``; identical
+    arithmetic, so kernels are integer-identical)."""
+    from .pairs import binom_exact
+
+    d = jax.lax.dot_general(
+        xa, xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rem = binom_exact(d, k)
+    s1_list = []
+    for dig in range(n_digits):
+        if dig + 1 < n_digits:
+            q = jnp.floor(rem * (1.0 / digit_base))
+            digit = rem - q * float(digit_base)
+            rem = q
+        else:
+            digit = rem
+        s1_list.append(
+            jax.lax.dot_general(
+                ga, digit.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    s1_all = jnp.stack(s1_list)
+    cum = jnp.cumsum(s1_all.astype(jnp.int32), axis=2)
+    at_bounds = jnp.take(cum, jnp.clip(bnd - 1, 0, tile - 1), axis=2)
+    at_bounds = jnp.where((bnd > 0)[None, None, :], at_bounds, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros((n_digits, c_max, 1), jnp.int32), at_bounds[:, :, :-1]],
+        axis=2,
+    )
+    return at_bounds - prev

@@ -542,20 +542,19 @@ def packed_round_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "g", "k", "tile", "c_max", "n_strips", "n_digits",
-        "digit_base", "backend",
+        "digit_base", "spd",
     ),
 )
-def packed_round_rowsharded(
+def packed_ring_rowsharded(
     blocks_dev: jnp.ndarray,  # [n_dev, n_digits, blk, Np] int32, dev-sharded
-    x: jnp.ndarray,  # [R, gA] bf16, replicated
-    seq_of: jnp.ndarray,  # [R] int32, replicated
-    first_seq: jnp.ndarray,  # [n_strips] int32, replicated
-    bounds: jnp.ndarray,  # [n_strips, c_max] int32, replicated
-    a_assign: jnp.ndarray,  # [n_dev, rounds] int32, dev-sharded (n_strips=dead)
-    row0_dev: jnp.ndarray,  # [n_dev] int32, dev-sharded: block's global row
-    round_idx: jnp.ndarray,  # scalar int32
+    x_dev: jnp.ndarray,  # [n_dev, spd*tile, gA] bf16, dev-sharded strips
+    seq_dev: jnp.ndarray,  # [n_dev, spd*tile] int32, dev-sharded
+    first_seq: jnp.ndarray,  # [n_strips_pad] int32, replicated (tiny)
+    bounds: jnp.ndarray,  # [n_strips_pad, c_max] int32, replicated (tiny)
+    row0_dev: jnp.ndarray,  # [n_dev] int32, dev-sharded
     *,
     mesh: Mesh,
+    spd: int,
     g: int,
     k: int,
     tile: int,
@@ -563,37 +562,61 @@ def packed_round_rowsharded(
     n_strips: int,
     n_digits: int,
     digit_base: int,
-    backend: str = "xla",
 ):
-    """One round of the rows-sharded packed engine
-    (KernelConfig.mesh_state="sharded"): each device owns a contiguous
-    plane ROW BLOCK ([n_digits, blk, Np], blk ~ Np/n_dev + halo) and this
-    round runs its assigned strip a against ALL strips b (ordered pairs
-    — no transpose writes ever leave the block). Blocks from different
-    devices overlap only in the c_max halo where strip-straddling
-    sequences live; the host adds overlapping extents on assembly.
-    Per-device memory is O(N^2 / n_dev) at 2x the triangular sweep's
-    D-matmul work, split across the mesh."""
+    """Operand-sharded packed sweep (one dispatch for the WHOLE kernel):
+    the window table is strip-sharded to match each device's plane row
+    block, and shards travel the ring once — at step s device d holds
+    the shard of device (d + s) mod D, computes ALL its own strips
+    against ALL visiting strips (ops/pairs_packed.py:
+    strip_block_shard_update), then ppermutes the shard to its lower
+    neighbor. Total operand traffic per device = (D-1)/D of one
+    broadcast; persistent per-device memory = O(N^2/D) block +
+    O(rows/D) shard — nothing is replicated but the tiny strip
+    metadata. Integer-identical to the replicated sweeps (int adds
+    commute)."""
     from ..ops import pairs_packed
 
-    def local(blocks_l, x_r, seq_r, fs_r, bd_r, aas, r0s, ridx):
-        out = pairs_packed.strip_block_rows_update(
-            blocks_l[0], x_r, seq_r, fs_r, bd_r, aas[0, ridx], r0s[0],
-            g=g, k=k, tile=tile, c_max=c_max, n_strips=n_strips,
-            n_digits=n_digits, digit_base=digit_base, backend=backend,
+    n_dev = mesh.devices.size
+    axes = (ROWS_AXIS, THETA_AXIS)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local(blocks_l, x_l, seq_l, fs_r, bd_r, r0s):
+        d = (
+            jax.lax.axis_index(ROWS_AXIS) * mesh.shape[THETA_AXIS]
+            + jax.lax.axis_index(THETA_AXIS)
         )
-        return out[None]
+        a_base = d * spd
+        x_own = x_l[0]
+        block = blocks_l[0]
+
+        def ring_step(s, carry):
+            block, x_vis = carry
+            b_base = ((d + s) % n_dev) * spd
+            block = pairs_packed.strip_block_shard_update(
+                block, x_own, seq_l[0], x_vis, fs_r, bd_r,
+                a_base, b_base, r0s[0],
+                spd=spd, g=g, k=k, tile=tile, c_max=c_max,
+                n_strips=n_strips, n_digits=n_digits,
+                digit_base=digit_base,
+            )
+            x_vis = jax.lax.ppermute(x_vis, axes, perm)
+            return block, x_vis
+
+        block, _ = jax.lax.fori_loop(0, n_dev, ring_step, (block, x_own))
+        return block[None]
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P((ROWS_AXIS, THETA_AXIS), None, None, None),
-            P(), P(), P(), P(),
+            P((ROWS_AXIS, THETA_AXIS), None, None),
             P((ROWS_AXIS, THETA_AXIS), None),
+            P(), P(),
             P((ROWS_AXIS, THETA_AXIS)),
-            P(),
         ),
         out_specs=P((ROWS_AXIS, THETA_AXIS), None, None, None),
         check_vma=False,  # see packed_round_sharded
-    )(blocks_dev, x, seq_of, first_seq, bounds, a_assign, row0_dev, round_idx)
+    )(blocks_dev, x_dev, seq_dev, first_seq, bounds, row0_dev)
+
+

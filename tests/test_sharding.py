@@ -204,7 +204,7 @@ def test_packed_rowsharded_memory_layout(rng, mesh8):
         eng = PackedPairsEngine(enc, 6, 3, KernelConfig(mesh=mesh8))
         assert eng.config.mesh_state == "sharded"
         seen = {}
-        orig_fn = shd.packed_round_rowsharded
+        orig_fn = shd.packed_ring_rowsharded
 
         def spy(blocks, *a, **kw):
             out = orig_fn(blocks, *a, **kw)
@@ -212,11 +212,11 @@ def test_packed_rowsharded_memory_layout(rng, mesh8):
             seen["global"] = out.shape
             return out
 
-        shd.packed_round_rowsharded = spy
+        shd.packed_ring_rowsharded = spy
         try:
             k2 = eng.exact()
         finally:
-            shd.packed_round_rowsharded = orig_fn
+            shd.packed_ring_rowsharded = orig_fn
         np.testing.assert_array_equal(k1, k2)
         n_pad = eng.n + eng.c_pad
         # each shard holds ONE row block: [1, n_digits, blk, n_pad] with

@@ -276,6 +276,31 @@ class DenseGkmEngine:
                 )
         return DeviceCounts(lo, hi if spilled else None)
 
+    def _sharded_batch_sz(self, n_theta: int) -> int:
+        """Per-step theta count under a mesh, clamped to the int32 headroom.
+
+        One sharded step psums ``per_dev * n_theta`` thetas onto every row
+        block at once, so the *batch itself* must respect the spill bound —
+        the pre-add spill can only protect accumulated history, never the
+        incoming batch. With so many theta-axis devices that even one theta
+        per device exceeds the margin-2 headroom, no spill cadence helps:
+        refuse loudly rather than overflow silently.
+        """
+        per_dev = min(
+            max(self.theta_batch, 1),
+            max(1, self.spill_every_thetas // n_theta),
+        )
+        batch_sz = per_dev * n_theta
+        if batch_sz > 2 * self.spill_every_thetas:
+            raise ValueError(
+                f"theta mesh axis too wide for int32 accumulation: one "
+                f"theta per device lands {n_theta} thetas x p_max^2="
+                f"{self.p_max ** 2} counts per step, above the int32 "
+                f"headroom of {2 * self.spill_every_thetas} thetas; "
+                f"shrink the theta axis or the windows-per-sequence bound"
+            )
+        return batch_sz
+
     def _sum_thetas_sharded_device(self, thetas: np.ndarray):
         """Mesh device-resident exact sum: lo/hi stay ROWS-SHARDED
         (kernel row blocks per device, the dense engine's layout) and the
@@ -288,7 +313,7 @@ class DenseGkmEngine:
         mesh = self.mesh
         n_theta = mesh.shape[shd.THETA_AXIS]
         np_pad = self.n_padded
-        batch_sz = max(self.theta_batch, 1) * n_theta
+        batch_sz = self._sharded_batch_sz(n_theta)
         kwargs = self._static_kwargs()
         lo = jnp.zeros(
             (np_pad, np_pad), dtype=jnp.int32, device=self._rows_sharding
@@ -358,8 +383,8 @@ class DenseGkmEngine:
         n_theta = mesh.shape[shd.THETA_AXIS]
         np_pad = self.n_padded
         # per-device theta quota keeps the (rows x theta) step the same size
-        # as a single-device theta batch
-        batch_sz = max(self.theta_batch, 1) * n_theta
+        # as a single-device theta batch, clamped to the int32 headroom
+        batch_sz = self._sharded_batch_sz(n_theta)
         kwargs = self._static_kwargs()
 
         theta_tag = hashlib.sha256(

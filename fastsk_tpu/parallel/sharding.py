@@ -616,7 +616,15 @@ def packed_ring_rowsharded(
             P((ROWS_AXIS, THETA_AXIS)),
         ),
         out_specs=P((ROWS_AXIS, THETA_AXIS), None, None, None),
-        check_vma=False,  # see packed_round_sharded
+        # check_vma=False because the pallas_call inside
+        # strip_block_shard_update produces out_shapes without varying-
+        # manual-axes annotations, which the checker rejects. Unlike
+        # packed_round_sharded this body DOES contain a collective (the
+        # ppermute ring), whose axis usage is therefore unchecked here —
+        # correctness is pinned instead by tests asserting ring results
+        # integer-identical to the single-device engine
+        # (tests/test_sharding.py packed-ring cases).
+        check_vma=False,
     )(blocks_dev, x_dev, seq_dev, first_seq, bounds, row0_dev)
 
 

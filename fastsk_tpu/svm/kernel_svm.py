@@ -377,14 +377,15 @@ class KernelSVC:
     max_iter: int = 10_000_000
     class_weight: Optional[str] = None
     cv_folds: int = 5
-    # Platt CV folds warm-start from the full-problem optimum (which saw
-    # the held-out fold's rows). Because the eps-approximate stopping
-    # point is non-unique, fold decision values become weakly dependent
-    # on test-fold labels — a deviation from the reference's cold-start
-    # svm_binary_svc_probability (svm.cpp:1913-1999), bounded by the
-    # solver tolerance (AUC measured bit-unchanged on the published
-    # suites). Set False to reproduce the reference's cold-start folds.
-    platt_warm_start: bool = True
+    # Platt CV folds: False (default) reproduces the reference's
+    # cold-start svm_binary_svc_probability folds (svm.cpp:1913-1999).
+    # True warm-starts each fold from the full-problem optimum — faster,
+    # but that optimum saw the held-out rows, and because the
+    # eps-approximate stopping point is non-unique the fold decision
+    # values become weakly dependent on their own labels (a mild
+    # calibration leak, bounded by the solver tolerance; AUC measured
+    # bit-unchanged on the published suites). Opt in for speed only.
+    platt_warm_start: bool = False
 
     def fit(self, gram: np.ndarray, y) -> "KernelSVC":
         gram = _gram_f32(gram)

@@ -261,15 +261,22 @@ def test_warm_start_restriction_feasible_and_equivalent(rng):
 
 
 def test_probability_platt_params_unchanged_by_warm_start(rng):
-    """The warm-started Platt CV must produce the same sigmoid (to solver
-    tolerance) as cold-started folds."""
+    """Both Platt CV modes must land on the same sigmoid (to solver
+    tolerance): platt_warm_start=False (the default, reproducing the
+    reference's cold-start svm_binary_svc_probability folds,
+    svm.cpp:1913-1999) against a hand-rolled cold-start reference, and
+    the opt-in warm-started mode against the same."""
     from fastsk_tpu.svm.kernel_svm import _smo_solve, _gram_f32
     from fastsk_tpu.svm.linear import stratified_kfold_indices
     from fastsk_tpu.svm.platt import sigmoid_train
 
     X, y = make_blobs(rng, n=100, d=5)
     K = X @ X.T
-    model = KernelSVC(C=1.0, probability=True).fit(K, y)
+    model_cold = KernelSVC(C=1.0, probability=True).fit(K, y)
+    assert model_cold.platt_warm_start is False  # reference-parity default
+    model = KernelSVC(C=1.0, probability=True, platt_warm_start=True).fit(
+        K, y
+    )
 
     # cold-start reference platt (the pre-warm-start implementation)
     import jax.numpy as jnp
@@ -292,6 +299,11 @@ def test_probability_platt_params_unchanged_by_warm_start(rng):
     A_warm, B_warm = model.platt_
     assert abs(A_warm - A_cold) < 0.2 * max(1.0, abs(A_cold))
     assert abs(B_warm - B_cold) < 0.1
+    # the default (cold-start) mode tracks the hand-rolled cold-start
+    # reference at least as tightly as the warm mode does
+    A_def, B_def = model_cold.platt_
+    assert abs(A_def - A_cold) < 0.2 * max(1.0, abs(A_cold))
+    assert abs(B_def - B_cold) < 0.1
 
 
 def test_blocked_smo_matches_pairwise_and_sklearn(rng):

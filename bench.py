@@ -6,10 +6,21 @@ counting passes over the 7230-sequence EP300_47848 DNA set (6506 train / 724
 test, length 200), against the reference C++ engine's measured single-thread
 wall-clock (BASELINE_MEASURED.json: 2.77 s/pass -> 22152 s extrapolated).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+Prints ONE JSON line whose primary value is the DEVICE-ONLY wall (the
+compute a fit/score workflow pays: exact_device + a 4-byte pull), with the
+transfer-inclusive host-pull wall reported alongside in the same object:
 
-Usage: python bench.py [--g G] [--m M] [--dataset NAME]
+    {"metric": ..._device_only_wall, "value": ..., "unit": "s",
+     "vs_baseline": ..., "host_pull_wall_s": ..., "host_pull_vs_baseline":
+     ..., "mfu_pct": ..., "mfu_dtype": ...}
+
+Rationale (VERDICT r3): the device->host tunnel here moves 5-27 MB/s
+depending on the hour, so a host-pull-only headline measures tunnel
+weather — ~75-80% of its wall was the 88 MB pull, not compute. Both walls
+are now always measured; the compute wall is the headline, the transfer
+wall stays visible so regressions in either are attributable.
+
+Usage: python bench.py [--g G] [--m M] [--dataset NAME] [--host-pull-only]
 """
 
 from __future__ import annotations
@@ -40,9 +51,13 @@ def main() -> None:
     )
     ap.add_argument(
         "--device-only", action="store_true",
-        help="benchmark the device-resident path (exact_device + a "
-             "4-byte pull): the wall a fit/score workflow pays, no "
-             "O(N^2) transfer — reports *_device_only_wall",
+        help="measure ONLY the device-resident path (skip the host-pull "
+             "secondary measurement)",
+    )
+    ap.add_argument(
+        "--host-pull-only", action="store_true",
+        help="measure ONLY the transfer-inclusive exact() path and make "
+             "it the primary metric (the pre-round-4 behavior)",
     )
     args = ap.parse_args()
 
@@ -85,59 +100,87 @@ def main() -> None:
     if args.phases:
         phase_split(engine, log)
 
-    if args.device_only:
-        run = lambda: engine.exact_device()  # noqa: E731
-        force = lambda dc: np.asarray(dc.lo[:1, :1])  # noqa: E731
-        suffix = "_device_only_wall"
-    else:
-        run = engine.exact
-        force = lambda k: k  # noqa: E731
-        suffix = "_exact_kernel_wall"
-
-    # first call compiles; report the best of 3-8 steady-state runs
-    # (each exact() rebuilds its device inputs, so remote-execution caches
-    # cannot shortcut the measurement; best-of defends against transient
-    # contention on shared devices)
-    t0 = time.perf_counter()
-    counts = force(run())
-    log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
     pairs = enc.n * (enc.n + 1) / 2 * total_passes
-    walls = []
-    t_loop = time.perf_counter()
-    for r in range(8):
+
+    def measure(run, force, label, fast_cut):
+        # first call compiles; report the best of 3-8 steady-state runs
+        # (each run rebuilds its device inputs, so remote-execution caches
+        # cannot shortcut the measurement; best-of defends against
+        # transient contention on shared devices)
         t0 = time.perf_counter()
         counts = force(run())
-        walls.append(time.perf_counter() - t0)
+        log(f"[{label}] compile+first run: {time.perf_counter() - t0:.1f} s")
+        walls = []
+        t_loop = time.perf_counter()
+        for r in range(8):
+            t0 = time.perf_counter()
+            counts = force(run())
+            walls.append(time.perf_counter() - t0)
+            log(
+                f"[{label}] steady run: {walls[-1]:.2f} s "
+                f"({pairs / walls[-1]:.2e} pairs/s)"
+            )
+            # the shared tunnel/device fluctuates 5-27 MB/s between
+            # windows (RESULTS.md transfer characterization): run at
+            # least 3, stop early on a plausibly contention-free run,
+            # keep retrying contended runs up to a ~10 min budget
+            if r >= 2 and (
+                min(walls) < fast_cut
+                or time.perf_counter() - t_loop > 600
+            ):
+                break
+        wall = min(walls)
         log(
-            f"steady run: {walls[-1]:.2f} s "
-            f"({pairs / walls[-1]:.2e} pairs/s)"
+            f"[{label}] best of {len(walls)}: {wall:.2f} s; "
+            f"K[0,0]={counts[0, 0]}; pairs/s/chip {pairs / wall:.3e}"
         )
-        # the shared tunnel/device fluctuates 5-25 MB/s between windows
-        # (see RESULTS.md transfer characterization): run at least 3,
-        # stop early on a plausibly contention-free run, keep retrying
-        # contended runs up to a ~12 min budget
-        if r >= 2 and (
-            min(walls) < 12.0 or time.perf_counter() - t_loop > 720
-        ):
-            break
-    wall = min(walls)
+        return wall
+
+    wall_dev = wall_pull = None
+    if not args.host_pull_only:
+        wall_dev = measure(
+            engine.exact_device,
+            lambda dc: np.asarray(dc.lo[:1, :1]),
+            "device-only",
+            fast_cut=3.0,
+        )
+    if not args.device_only:
+        wall_pull = measure(
+            engine.exact, lambda k: k, "host-pull", fast_cut=12.0
+        )
+
+    # roofline: exact MXU FLOPs of the run vs the chip's dense peak
+    from fastsk_tpu.utils import roofline
+
+    rl = roofline.pairs_engine_flops(engine)
+    wall_mfu = wall_dev if wall_dev is not None else wall_pull
+    log(roofline.format_mfu_line(
+        "roofline", rl["flops"], wall_mfu, dev, rl["dtype"]
+    ))
     log(
-        f"full exact kernel (best of {len(walls)}): {wall:.2f} s; "
-        f"K[0,0]={counts[0, 0]}"
+        f"roofline: AI={rl['ai']:.0f} FLOP/HBM-byte, "
+        f"{rl['bytes_hbm'] / 2**30:.2f} GiB streamed, "
+        f"{rl['live_tiles']} live tiles"
     )
+    mfu_frac = roofline.mfu(rl["flops"], wall_mfu, dev, rl["dtype"])
 
-    log(f"pairs/s/chip: {pairs / wall:.3e}")
-
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.dataset}_g{g}_m{m}{suffix}",
-                "value": round(wall, 2),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / wall, 1),
-            }
-        )
+    primary = wall_pull if args.host_pull_only else wall_dev
+    suffix = (
+        "_exact_kernel_wall" if args.host_pull_only else "_device_only_wall"
     )
+    out = {
+        "metric": f"{args.dataset}_g{g}_m{m}{suffix}",
+        "value": round(primary, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / primary, 1),
+    }
+    if wall_pull is not None and not args.host_pull_only:
+        out["host_pull_wall_s"] = round(wall_pull, 2)
+        out["host_pull_vs_baseline"] = round(BASELINE_S / wall_pull, 1)
+    if mfu_frac is not None:
+        out["mfu_pct"] = round(100 * mfu_frac, 1)
+        out["mfu_dtype"] = rl["dtype"]
+    print(json.dumps(out))
 
 
 def phase_split(engine, log, reps: int = 3) -> None:

@@ -63,8 +63,18 @@ class KernelConfig:
     # "*_interpret" variants run the Pallas kernels in interpret mode.
     pairs_backend: str = "auto"
 
-    # Sorted/rank engine: pairs per count-matmul slab.
+    # Sorted/rank engine: pairs per count-matmul slab ("pairs" layout) /
+    # pairs per scatter chunk ("runs" layout).
     sorted_slab: int = 8192
+
+    # Sorted/rank engine slab decomposition: "runs" (run-aligned slabs —
+    # fully dense gram columns, no cross-slab corrections, one fewer sort;
+    # ~3-4x faster per pass on the NLP suite) or "pairs" (the round-1..3
+    # pair-aligned layout). Integer-identical results.
+    sorted_layout: str = "runs"
+
+    # Runs per slab for sorted_layout="runs" (the gram width).
+    sorted_run_width: int = 2048
 
     # Mid-computation checkpointing (utils/checkpoint.py): persist the
     # accumulator + work-queue cursor every `checkpoint_every` thetas so a
@@ -90,4 +100,9 @@ class KernelConfig:
             raise ValueError(
                 "mesh_state must be 'sharded' or 'replicated'; got "
                 f"{self.mesh_state!r}"
+            )
+        if self.sorted_layout not in ("runs", "pairs"):
+            raise ValueError(
+                "sorted_layout must be 'runs' or 'pairs'; got "
+                f"{self.sorted_layout!r}"
             )

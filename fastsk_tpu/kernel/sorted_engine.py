@@ -170,6 +170,8 @@ class SortedGkmEngine:
             n_words=self.n_words,
             count_split=self.p_max > 255,
             tri_blocks=self._tri_blocks if tri else 0,
+            layout=self.config.sorted_layout,
+            run_width=self.config.sorted_run_width,
         )
 
     def _pass(self, theta: np.ndarray, tri: bool = False) -> jnp.ndarray:

@@ -378,6 +378,7 @@ def pairs_round_sharded(
     static_argnames=(
         "mesh", "g", "base", "code_min", "n", "p", "slab", "dpw",
         "n_words", "count_split", "static_slabs", "tri_blocks",
+        "layout", "run_width",
     ),
 )
 def sorted_batch_sharded(
@@ -420,7 +421,7 @@ def sorted_batch_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "g", "base", "code_min", "n", "n_pad", "n_rows", "p",
-        "slab", "dpw", "n_words", "count_split",
+        "slab", "dpw", "n_words", "count_split", "layout", "run_width",
     ),
 )
 def sorted_batch_rowsharded(

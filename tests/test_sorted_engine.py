@@ -293,3 +293,53 @@ def test_sorted_rowsharded_memory_layout(rng):
         KernelConfig(sorted_slab=128, mesh=mesh, mesh_state="replicated"),
     ).exact()
     np.testing.assert_array_equal(ref, k_repl)
+
+
+def test_sorted_layout_runs_vs_pairs_bitexact(rng):
+    """The run-aligned slab layout (the default) and the round-1..3
+    pair-aligned layout produce bit-identical integers on every path:
+    exact, batched, device-resident, approx."""
+    X = random_ragged_seqs(rng, 11, 8, 22, alphabet=25)
+    enc = encode_sequences(X)
+    assert KernelConfig().sorted_layout == "runs"  # the default
+    mk = lambda layout, **kw: SortedGkmEngine(  # noqa: E731
+        enc, 7, 3,
+        KernelConfig(sorted_layout=layout, sorted_slab=64,
+                     sorted_run_width=32, **kw),
+    )
+    kp = mk("pairs").exact()
+    kr = mk("runs").exact()
+    np.testing.assert_array_equal(kp, kr)
+    # batched [T, n, n] (the Welford unit)
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+
+    th = enumerate_combinations(7, 4)[:3]
+    np.testing.assert_array_equal(
+        np.asarray(mk("pairs", theta_batch=3)._pass_batch(th)),
+        np.asarray(mk("runs", theta_batch=3)._pass_batch(th)),
+    )
+    # device-resident
+    dp = mk("pairs").exact_device().to_host_int64()
+    dr = mk("runs").exact_device().to_host_int64()
+    np.testing.assert_array_equal(dp, dr)
+    # approx stream (same seed => same theta stream => same integers)
+    ap = mk("pairs").approx(max_iters=4, seed=3)
+    ar = mk("runs").approx(max_iters=4, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(ap.counts), np.asarray(ar.counts)
+    )
+    assert np.allclose(ap.stdevs, ar.stdevs)
+
+
+def test_sorted_runs_width_boundaries(rng):
+    """Run widths that force many run-aligned slab boundaries (and
+    multi-chunk slabs) stay exact vs the oracle."""
+    X = random_ragged_seqs(rng, 9, 8, 20, alphabet=4)
+    K_oracle = oracle.exact_counts(X, 6, 3)
+    for width, slab in [(8, 16), (16, 64), (512, 8192)]:
+        eng = SortedGkmEngine(
+            encode_sequences(X), 6, 3,
+            KernelConfig(sorted_layout="runs", sorted_run_width=width,
+                         sorted_slab=slab),
+        )
+        np.testing.assert_array_equal(K_oracle, eng.exact())

@@ -30,11 +30,27 @@ from .ops.encode import EncodedSeqs, encode_sequences, validate_g
 def _collapse_shards(arr):
     """A mesh-sharded device array -> one device (device-to-device
     collect, no host round-trip): the SVM solvers and decision matvecs
-    are single-device programs (the fused Pallas SMO in particular)."""
+    are single-device programs (the fused Pallas SMO in particular).
+
+    Across PROCESS boundaries a single-device collapse is impossible
+    (the target device is unaddressable from the other hosts), so the
+    array collapses to fully-replicated on the same mesh instead: every
+    process then holds a complete copy and the downstream solver runs as
+    identical SPMD replicas — the multi-host fit/score path
+    (tests/test_multihost.py)."""
     import jax
 
-    if isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
-        return jax.device_put(arr, sorted(arr.sharding.device_set, key=str)[0])
+    if not isinstance(arr, jax.Array) or len(arr.sharding.device_set) <= 1:
+        return arr
+    devs = arr.sharding.device_set
+    if len({d.process_index for d in devs}) == 1:
+        return jax.device_put(arr, sorted(devs, key=str)[0])
+    sh = arr.sharding
+    if isinstance(sh, jax.sharding.NamedSharding):
+        rep = jax.sharding.NamedSharding(
+            sh.mesh, jax.sharding.PartitionSpec()
+        )
+        return jax.device_put(arr, rep)
     return arr
 
 

@@ -45,10 +45,17 @@ def _run(command: Sequence[str], timeout: Optional[float]) -> str:
     return out.stdout
 
 
-def split_pos_neg(fasta: str, pos_out: str, neg_out: str) -> Tuple[int, int]:
+def split_pos_neg(
+    fasta: str, pos_out: str, neg_out: str, start_id: int = 1
+) -> Tuple[int, int]:
     """Split a labeled fasta into the .pos/.neg pair the gkm tools expect
-    (labels 1 -> pos, 0/-1 -> neg)."""
+    (labels 1 -> pos, 0/-1 -> neg). Each sequence gets a UNIQUE integer
+    name — the gkm parsers key sequences by name, so duplicate headers
+    silently collapse the dataset (the reference's converter numbers them
+    the same way, results/other_scripts/gkmify.py:45-46). Sequences are
+    lowercased for parity with the reference converter."""
     n_pos = n_neg = 0
+    uid = start_id
     with open(fasta) as f, open(pos_out, "w") as fp, open(neg_out, "w") as fn:
         label_line = True
         label = None
@@ -62,7 +69,8 @@ def split_pos_neg(fasta: str, pos_out: str, neg_out: str) -> Tuple[int, int]:
                     n_pos += 1
                 else:
                     n_neg += 1
-                target.write(f">{label}\n{line.rstrip()}\n")
+                target.write(f">{uid}\n{line.rstrip().lower()}\n")
+                uid += 1
                 label_line = True
     return n_pos, n_neg
 

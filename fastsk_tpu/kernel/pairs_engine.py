@@ -71,6 +71,19 @@ class PairsGkmEngine:
         # backend: the fused Pallas kernel on TPU (VMEM-resident D tiles),
         # the blocked XLA path elsewhere / for huge windows-per-sequence
         self.mesh = self.config.mesh
+        if self.mesh is not None:
+            # The round-1..3 mesh path here replicated the O(N*p*gA)
+            # window encoding on every device — it never memory-scaled.
+            # Mesh exact runs are the packed engine's job: its ring path
+            # shards input AND state (parallel/sharding.py:
+            # packed_ring_rowsharded); the auto engine selection routes
+            # there when this raises (api.py:_make_exact_engine).
+            raise ValueError(
+                "the seq-aligned pairs engine is single-device; mesh "
+                "exact kernels run on the packed engine (fully "
+                "input+state sharded) — use exact_engine='packed' or "
+                "'auto'"
+            )
         backend = self.config.pairs_backend
         if backend == "auto":
             backend = (
@@ -148,9 +161,7 @@ class PairsGkmEngine:
         ctx_t.__enter__()
         try:
             x = self._build_x()
-            if self.mesh is not None:
-                upper = self._exact_sharded(x)
-            elif self.backend == "pallas":
+            if self.backend == "pallas":
                 # returns the full symmetric matrix (blocked host mirror)
                 out = self._exact_pallas(x)[: self.n, : self.n]
                 return out
@@ -305,51 +316,6 @@ class PairsGkmEngine:
                 r1 = min(r0 + bsz, self.n_pad)
                 k_full[r0:r1, c0:c1] = k_full[c0:c1, r0:r1].T
         return k_full.astype(np.int64)
-
-    def _exact_sharded(self, x) -> np.ndarray:
-        """Mesh-parallel strips: round-robin over all devices, K rows local.
-
-        Every device computes whole i strips against the full (replicated)
-        window encoding; there is no inter-device communication until the
-        final host gather. Round-robin strip assignment balances the
-        triangular j loop.
-        """
-        from ..parallel import sharding as shd
-
-        mesh = self.mesh
-        n_dev = mesh.devices.size
-        spd = -(-self.n_strips_i // n_dev)  # slots (rounds) per device
-        n_slots = spd * n_dev
-        slot_sharding = jax.sharding.NamedSharding(
-            mesh,
-            jax.sharding.PartitionSpec((shd.ROWS_AXIS, shd.THETA_AXIS), None, None),
-        )
-        k_slots = jnp.zeros(
-            (n_slots, self.c_i, self.n_pad), jnp.int32, device=slot_sharding
-        )
-        x = jax.device_put(
-            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        )
-        for ridx in range(spd):
-            k_slots = shd.pairs_round_sharded(
-                k_slots,
-                x,
-                jnp.int32(ridx),
-                mesh=mesh,
-                k=self.k,
-                c_i=self.c_i,
-                c_j=self.c_j,
-                p_pad=self.p_pad,
-                n_strips_j=self.n_strips_j,
-            )
-        slots = shd.host_gather(k_slots)
-        upper = np.zeros((self.n_pad, self.n_pad), dtype=np.int64)
-        for slot in range(n_slots):
-            dev, ridx = divmod(slot, spd)
-            strip = ridx * n_dev + dev
-            if strip < self.n_strips_i:
-                upper[strip * self.c_i : (strip + 1) * self.c_i] = slots[slot]
-        return upper
 
     def _exact_xla(self, x) -> np.ndarray:
         return np.asarray(self._exact_xla_device(x), dtype=np.int64)

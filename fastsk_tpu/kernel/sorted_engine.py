@@ -168,7 +168,15 @@ class SortedGkmEngine:
             slab=self.slab,
             dpw=self.dpw,
             n_words=self.n_words,
-            count_split=self.p_max > 255,
+            # three-way count-op mode (ops/sorted_theta.py:_count_ops):
+            # bf16 inputs are exact to 255; one f32 matmul at HIGHEST
+            # precision is exact while per-pass entries stay below 2^24
+            # (p_max <= 4095) and avoids the int8 digit trio's [n, n]
+            # recombine planes; the base-128 int8 split covers the rest
+            count_split=(
+                True if self.p_max > 4095
+                else ("f32x3" if self.p_max > 255 else False)
+            ),
             tri_blocks=self._tri_blocks if tri else 0,
             layout=self.config.sorted_layout,
             run_width=self.config.sorted_run_width,

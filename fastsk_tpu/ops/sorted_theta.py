@@ -372,25 +372,38 @@ def _slab_contrib_runs_rows(
     return _gram_ops(ops_rows, ops_all, count_split)  # [n_rows, n]
 
 
-def _count_ops(c_s: jnp.ndarray, count_split: bool):
+def _count_ops(c_s: jnp.ndarray, count_split):
     """Matmul operand form of an f32 integer count block.
 
-    count_split: counts can exceed bf16-exact range: split into base-128
-    digits, each < 128 so it fits SIGNED int8 — the int8 MXU path runs
-    at 2x the bf16 rate on v5e and s8xs8->s32 dots are exact by
-    construction. Digit bound: hi = c >> 7 <= p_max/128 <= 127 under the
-    engine's p_max < 16384 guard (sorted_engine.py). No int32 overflow:
-    each reassembled term is bounded by the true per-pass entry
-    K[i,j] <= p_i*p_j <= p_max^2 < 2^31."""
-    if count_split:
+    ``count_split`` is a three-way static mode (bool kept for the two
+    round-1..3 modes):
+
+    - False: counts <= 255 are bf16-exact — one bf16 matmul with f32
+      accumulation;
+    - "f32x3": 255 < p_max <= 4095 — ONE f32 matmul at HIGHEST precision
+      (the TPU's 3-pass bf16 decomposition computes true-f32 products and
+      sums). Exact because every per-pass entry — and, counts being
+      nonnegative, every partial sum — is bounded by p_i*p_j < 2^24.
+      Replaces the int8 digit trio + recombine below in the mid range,
+      where the three [n, n] int32 combine planes (and the hl.T
+      transpose) dominated the slab wall, not the MACs;
+    - True: counts to p_max < 16384 split into base-128 digits, each
+      < 128 so it fits SIGNED int8 — the int8 MXU path runs at 2x the
+      bf16 rate on v5e and s8xs8->s32 dots are exact by construction.
+      Digit bound: hi = c >> 7 <= p_max/128 <= 127. No int32 overflow:
+      each reassembled term is bounded by the true per-pass entry
+      K[i,j] <= p_i*p_j <= p_max^2 < 2^31."""
+    if count_split is True:
         c_int = c_s.astype(jnp.int32)
         return ((c_int >> 7).astype(jnp.int8), (c_int & 127).astype(jnp.int8))
+    if count_split == "f32x3":
+        return (c_s,)
     return (c_s.astype(jnp.bfloat16),)
 
 
-def _gram_ops(a_ops, b_ops, count_split: bool):
+def _gram_ops(a_ops, b_ops, count_split):
     """Exact int32 ``A @ B^T`` on operand tuples from ``_count_ops``."""
-    if count_split:
+    if count_split is True:
         hi_a, lo_a = a_ops
         hi_b, lo_b = b_ops
         pt = jnp.int32
@@ -405,6 +418,10 @@ def _gram_ops(a_ops, b_ops, count_split: bool):
         return hh * 16384 + (hl + lh) * 128 + ll
     (cb_a,) = a_ops
     (cb_b,) = b_ops
+    if count_split == "f32x3":
+        return jnp.matmul(
+            cb_a, cb_b.T, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
     return jnp.matmul(
         cb_a, cb_b.T, preferred_element_type=jnp.float32
     ).astype(jnp.int32)

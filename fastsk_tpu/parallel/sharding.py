@@ -331,50 +331,6 @@ def approx_batch_update_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "c_i", "c_j", "p_pad", "n_strips_j"),
-)
-def pairs_round_sharded(
-    k_slots: jnp.ndarray,  # [n_slots, c_i, Ns] int32, rows-sharded on axis 0
-    x: jnp.ndarray,  # [Ns * p_pad, gA] bf16, replicated
-    round_idx: jnp.ndarray,  # scalar int32
-    *,
-    mesh: Mesh,
-    k: int,
-    c_i: int,
-    c_j: int,
-    p_pad: int,
-    n_strips_j: int,
-):
-    """One round of the all-pairs engine over the rows axis.
-
-    Each device computes the K rows of strip ``round_idx * R + axis_index``
-    (round-robin assignment balances the triangular j loop across devices)
-    and stores them in its local slot ``round_idx``. The host reassembles
-    slots into K afterwards (see PairsGkmEngine._exact_sharded).
-    """
-    from ..ops import pairs as pairs_ops
-
-    n_rows_axis = mesh.shape[ROWS_AXIS] * mesh.shape[THETA_AXIS]
-
-    def local(slots_l, x_rep, ridx):
-        r = jax.lax.axis_index(ROWS_AXIS) * mesh.shape[THETA_AXIS] + jax.lax.axis_index(THETA_AXIS)
-        i_strip = ridx * n_rows_axis + r
-        rows = pairs_ops.strip_rows(
-            x_rep, i_strip, k=k, c_i=c_i, c_j=c_j, p_pad=p_pad,
-            n_strips_j=n_strips_j,
-        )
-        return jax.lax.dynamic_update_slice(slots_l, rows[None], (ridx, 0, 0))
-
-    return jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P((ROWS_AXIS, THETA_AXIS), None, None), P(), P()),
-        out_specs=P((ROWS_AXIS, THETA_AXIS), None, None),
-    )(k_slots, x, round_idx)
-
-
-@functools.partial(
-    jax.jit,
     static_argnames=(
         "mesh", "g", "base", "code_min", "n", "p", "slab", "dpw",
         "n_words", "count_split", "static_slabs", "tri_blocks",

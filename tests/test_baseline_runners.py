@@ -57,7 +57,14 @@ def test_split_pos_neg(data_dir, tmp_path):
     )
     assert (n_pos, n_neg) == (10, 6)
     pos = open(tmp_path / "p.fasta").read()
-    assert pos.count(">1") == 10 and ">0" not in pos
+    neg = open(tmp_path / "n.fasta").read()
+    # the gkm tools key sequences by name: every header must be UNIQUE
+    # (duplicate headers silently collapse the dataset; gkmify.py:45-46)
+    names = [
+        ln[1:] for ln in (pos + neg).splitlines() if ln.startswith(">")
+    ]
+    assert len(names) == 16 and len(set(names)) == 16
+    assert pos.count(">") == 10
 
 
 def test_gkm_runner_pipeline(data_dir, tmp_path):

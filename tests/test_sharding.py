@@ -84,26 +84,30 @@ def test_approx_sharded_convergence_stop(rng):
     np.testing.assert_array_equal(single.kernel_counts, sharded.kernel_counts)
 
 
-def test_pairs_engine_sharded_matches_single(rng, mesh8):
-    """Rows-sharded all-pairs engine == single-device, exact integers."""
+def test_pairs_engine_refuses_mesh(rng, mesh8):
+    """The seq-aligned pairs engine is single-device by design (round 4:
+    its mesh path replicated the O(N*p*gA) window encoding per device and
+    never memory-scaled). A mesh must raise, and the auto route must land
+    on the packed ring path with identical integers."""
     from fastsk_tpu.kernel.config import KernelConfig
     from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
     from fastsk_tpu.ops.encode import encode_sequences
 
     X = random_ragged_seqs(rng, 27, 12, 20, alphabet=4)
     enc = encode_sequences(X)
-    single = PairsGkmEngine(enc, 6, 2)
-    sharded = PairsGkmEngine(enc, 6, 2, KernelConfig(mesh=mesh8))
-    np.testing.assert_array_equal(single.exact(), sharded.exact())
+    with pytest.raises(ValueError, match="single-device"):
+        PairsGkmEngine(enc, 6, 2, KernelConfig(mesh=mesh8))
 
 
-def test_api_exact_with_mesh_uses_pairs(rng, mesh8):
+def test_api_exact_with_mesh_routes_to_packed(rng, mesh8):
+    """Auto engine selection under a mesh routes to the packed engine
+    (fully input+state sharded) and matches single-device exactly."""
     from fastsk_tpu.ops.encode import encode_sequences
 
     X = random_ragged_seqs(rng, 16, 10, 16, alphabet=4)
     fsk = FastSK(g=6, m=2, config=KernelConfig(mesh=mesh8))
     engine = fsk._make_exact_engine(encode_sequences(X))
-    assert type(engine).__name__ == "PairsGkmEngine"
+    assert type(engine).__name__ == "PackedPairsEngine"
     fsk.compute_train(X)
     ref = FastSK(g=6, m=2)
     ref.compute_train(X)
@@ -168,8 +172,8 @@ def test_api_routes_ragged_mesh_to_packed(rng, mesh8):
 def test_exact_engine_non_power_of_two_mesh(rng):
     """A 2x3 mesh (6 of the 8 virtual devices) produces integer-identical
     exact counts — no hidden power-of-two assumptions in the rows/theta
-    sharding or the strip round-robin."""
-    from fastsk_tpu.kernel.pairs_engine import PairsGkmEngine
+    sharding or the packed ring."""
+    from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
     from fastsk_tpu.kernel.config import KernelConfig
     from fastsk_tpu.ops.encode import encode_sequences
 
@@ -179,10 +183,13 @@ def test_exact_engine_non_power_of_two_mesh(rng):
     ]
     enc = encode_sequences(X)
     mesh = make_mesh(2, 3)
-    k_mesh = PairsGkmEngine(enc, 6, 3, KernelConfig(mesh=mesh)).exact()
-    k_one = PairsGkmEngine(
-        enc, 6, 3, KernelConfig(pairs_backend="xla")
-    ).exact()
+    orig = PackedPairsEngine.TILE
+    PackedPairsEngine.TILE = 64  # several strips on the tiny fixture
+    try:
+        k_mesh = PackedPairsEngine(enc, 6, 3, KernelConfig(mesh=mesh)).exact()
+        k_one = PackedPairsEngine(enc, 6, 3, KernelConfig()).exact()
+    finally:
+        PackedPairsEngine.TILE = orig
     np.testing.assert_array_equal(k_mesh, k_one)
 
 

@@ -41,18 +41,39 @@ def test_sorted_exact_heavy_runs(rng):
 
 
 def test_sorted_count_split_int8_digits(rng):
-    """p_max > 255 routes the slab matmuls through the base-128 int8
-    digit split; low-complexity long sequences push per-pair counts
-    past 255 so both digits are live."""
+    """255 < p_max <= 4095 routes the slab matmuls through the single
+    f32-HIGHEST gram ("f32x3" mode, exact below 2^24 per-pass entries);
+    the same data forced through the base-128 int8 digit split
+    (count_split=True, the p_max > 4095 mode) must agree bit for bit —
+    low-complexity long sequences push per-pair counts past 255 so both
+    digits are live."""
     rep = [1, 2, 1, 1, 2, 2] * 50  # len 300, highly repetitive
     X = [rep, rep[:-6], [2, 1] * 140]
     X += random_ragged_seqs(rng, 4, 260, 300, alphabet=2)
     g, m = 4, 2
     eng = SortedGkmEngine(encode_sequences(X), g, m, KernelConfig(sorted_slab=256))
-    assert eng.p_max > 255  # count_split path engaged
+    assert eng.p_max > 255
+    assert eng._static_kwargs()["count_split"] == "f32x3"
     K_oracle = oracle.exact_counts(X, g, m)
     assert K_oracle.max() // 3 > 255 * 255  # per-pass products exceed lo*lo
     np.testing.assert_array_equal(K_oracle, eng.exact())
+
+    # force the int8 digit mode on the same shapes: bit-identical
+    from fastsk_tpu.ops.combinatorics import enumerate_combinations
+    from fastsk_tpu.ops.sorted_theta import sorted_theta_pass
+
+    statics = dict(eng._static_kwargs(), count_split=True)
+    th = enumerate_combinations(g, g - m)
+    total = None
+    for t in th:
+        import jax.numpy as jnp
+
+        ks = np.asarray(sorted_theta_pass(
+            eng._windows, eng._valid, eng._seq_of,
+            jnp.asarray(t, jnp.int32), **statics,
+        ), dtype=np.int64)
+        total = ks if total is None else total + ks
+    np.testing.assert_array_equal(K_oracle, total)
 
 
 def test_sorted_batch_sum_bitexact(rng):

@@ -8,8 +8,9 @@ device-resident path (KernelConfig.device_resident) keeps the kernel, the
 Gram, and the SMO solves on device and pulls only O(n) decision values.
 
 Writes one CSV row per (mode, rep): kernel wall, fit wall, score wall,
-end-to-end wall, AUC. Modes run interleaved (host, device, host, ...) so
-tunnel drift (RESULTS.md transfer characterization) hits both fairly.
+end-to-end wall, AUC, and a cold/steady ``phase`` label (rep 0 carries
+each mode's compiles). Modes run interleaved (host, device, host, ...)
+so tunnel drift (RESULTS.md transfer characterization) hits both fairly.
 
 Usage:
   python experiments/run_e2e_device.py [--dataset EP300] [--g 10] [--m 6]
@@ -79,7 +80,7 @@ def main():
     ap.add_argument("--C", type=float, default=1.0)
     ap.add_argument("--kernel-type", default="linear",
                     choices=["linear", "fastsk", "rbf"])
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--modes", default="host,device",
                     help="comma list of host,device")
     ap.add_argument("--out", default=None)
@@ -100,6 +101,10 @@ def main():
         for device_resident in (m == "device" for m in modes):
             r = run_once(args, device_resident)
             r["rep"] = rep
+            # rep 0 pays each mode's compiles; later reps are steady.
+            # An explicit column makes the committed CSVs self-describing
+            # (VERDICT r3 weak #7) instead of relying on convention.
+            r["phase"] = "cold" if rep == 0 else "steady"
             log(f"{args.dataset} g={args.g} m={args.m} rep{rep} {r['mode']}: "
                 f"kernel {r['kernel_s']}s fit {r['fit_s']}s score "
                 f"{r['score_s']}s e2e {r['e2e_s']}s auc {r['auc']}")

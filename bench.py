@@ -59,7 +59,16 @@ def main() -> None:
         help="measure ONLY the transfer-inclusive exact() path and make "
              "it the primary metric (the pre-round-4 behavior)",
     )
+    ap.add_argument(
+        "--scale", type=int, default=0, metavar="N",
+        help="replace the dataset with the N-sequence synthetic "
+             "planted-motif corpus (experiments/run_scale.py) — the "
+             "large-N single-chip configuration (device-only implied; "
+             "N=30000 fits one v5e)",
+    )
     args = ap.parse_args()
+    if args.scale:
+        args.device_only = True  # the matrix would not fit a host pull budget
 
     import jax
     import numpy as np
@@ -79,9 +88,22 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 
-    reader = FastaUtility()
-    Xtr, _ = reader.read_data(f"{DATA}/{args.dataset}.train.fasta")
-    Xte, _ = reader.read_data(f"{DATA}/{args.dataset}.test.fasta")
+    if args.scale:
+        import os
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "experiments"),
+        )
+        from run_scale import synth_corpus
+
+        Xtr, _, Xte, _ = synth_corpus(args.scale)
+        args.dataset = f"synth{args.scale}"
+    else:
+        reader = FastaUtility()
+        Xtr, _ = reader.read_data(f"{DATA}/{args.dataset}.train.fasta")
+        Xte, _ = reader.read_data(f"{DATA}/{args.dataset}.test.fasta")
     enc = encode_sequences(Xtr, Xte)
     g, m = args.g, args.m
     k = g - m

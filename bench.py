@@ -184,6 +184,8 @@ def main() -> None:
         f"{rl['bytes_hbm'] / 2**30:.2f} GiB streamed, "
         f"{rl['live_tiles']} live tiles"
     )
+    comp = roofline.pairs_kernel_composite(engine, dev)
+    log(roofline.format_composite_line("composite", comp, wall_mfu))
     mfu_frac = roofline.mfu(rl["flops"], wall_mfu, dev, rl["dtype"])
 
     primary = wall_pull if args.host_pull_only else wall_dev
@@ -202,6 +204,11 @@ def main() -> None:
     if mfu_frac is not None:
         out["mfu_pct"] = round(100 * mfu_frac, 1)
         out["mfu_dtype"] = rl["dtype"]
+    if comp.get("bound_s"):
+        out["composite_bound_s"] = round(comp["bound_s"], 2)
+        out["pct_of_composite_bound"] = round(
+            100 * comp["bound_s"] / wall_mfu, 1
+        )
     print(json.dumps(out))
 
 

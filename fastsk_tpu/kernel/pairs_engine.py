@@ -345,13 +345,13 @@ _build_packed_x_jit = jax.jit(
     static_argnames=("g", "alpha", "code_min", "dtype"),
 )
 _build_gb_all_jit = jax.jit(
-    _pairs_packed.build_gb_all, static_argnames=("tile", "c_pad")
+    _pairs_packed.build_gb_all, static_argnames=("tile", "c_pad", "dtype")
 )
 _build_ga_all_jit = jax.jit(
-    _pairs_packed.build_ga_all, static_argnames=("tile", "c_pad")
+    _pairs_packed.build_ga_all, static_argnames=("tile", "c_pad", "dtype")
 )
 _build_gb_land_jit = jax.jit(
-    _pairs_packed.build_gb_land, static_argnames=("tile", "c_land")
+    _pairs_packed.build_gb_land, static_argnames=("tile", "c_land", "dtype")
 )
 
 
@@ -423,9 +423,19 @@ class PackedPairsEngine:
                 f"windows per sequence too large for int32 digit planes "
                 f"(p_max={p_max})"
             )
-        self.digit_base = base
         c_total = math.comb(g, self.k)
-        self.n_digits = max(1, math.ceil(math.log(c_total + 1, base)))
+
+        def _nd(b):
+            return max(1, math.ceil(math.log(c_total + 1, b)))
+
+        # prefer base 128 when it doesn't add a plane: digits <= 127 fit
+        # the signed int8 MXU operand, so the Pallas landing stages run
+        # at 2x bf16 peak (ops/pairs_packed_pallas._land_stages); every
+        # int32 bound only loosens with the smaller base
+        if base == 256 and _nd(128) == _nd(256):
+            base = 128
+        self.digit_base = base
+        self.n_digits = _nd(base)
 
         order = np.argsort(-np.asarray(enc.lengths), kind="stable")
         self.order = order
@@ -575,6 +585,24 @@ class PackedPairsEngine:
         pos[self.order] = np.arange(self.n)
         return k_sorted[np.ix_(pos, pos)].astype(np.int64, copy=False)
 
+    def _land_dtype(self):
+        """Landing-map dtype for the fused band/pair-list kernels: int8
+        when every digit fits the signed int8 MXU operand (digit_base <=
+        128 — both landing stages then run at 2x bf16 peak on v5e),
+        bf16 otherwise. The interpret-mode tests exercise the same
+        dtype the device would pick. ``FASTSK_LAND_DTYPE=bf16|int8``
+        overrides (A/B probes; results are bit-identical either way)."""
+        import os
+
+        env = os.environ.get("FASTSK_LAND_DTYPE")
+        if env == "bf16":
+            return jnp.bfloat16
+        if env == "int8":
+            return jnp.int8
+        return (
+            jnp.int8 if self.digit_base <= 128 else jnp.bfloat16
+        )
+
     def _compute_planes(self, x, n_pad: int):
         """Digit planes for the single-device backends (pallas band
         sweep / pair-list sweep / grouped fused strips / blocked XLA
@@ -689,11 +717,14 @@ class PackedPairsEngine:
 
         ns = self.n_strips
         c_land = -(-(self.c_pad + 128) // 128) * 128
+        land_dtype = self._land_dtype()
         ga_all = _build_ga_all_jit(
-            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+            self._seq_of, self._first_seq, tile=self.tile,
+            c_pad=self.c_pad, dtype=land_dtype,
         )
         gb_all = _build_gb_land_jit(
-            self._seq_of, self._first_seq, tile=self.tile, c_land=c_land
+            self._seq_of, self._first_seq, tile=self.tile, c_land=c_land,
+            dtype=land_dtype,
         )
         first_seq = np.asarray(self.pack["first_seq"])
         pa = np.repeat(np.arange(ns, dtype=np.int32), np.arange(ns, 0, -1))
@@ -716,7 +747,7 @@ class PackedPairsEngine:
         w_est = -(-n_pad // 128) * 128 + c_land
         if len(pa_all) > int(1.5 * self.BAND_SLOT_CAP) or not band_vmem_feasible(
             tile=self.tile, f=self.g * self.alpha,
-            xsz=1 if x.dtype == jnp.int8 else 2,
+            xsz=1 if (x.dtype == jnp.int8 and land_dtype == jnp.int8) else 2,
             c_pad=self.c_pad, c_land=c_land, w=w_est,
             n_digits=self.n_digits, slots=len(pa_all),
         ):
@@ -729,12 +760,10 @@ class PackedPairsEngine:
         pa = pa_all[order].astype(np.int32)
         pb = pb_all[order].astype(np.int32)
         fbv = (first_seq[pb] // 128).astype(np.int32)  # landing block
-        live = np.ones(len(pa), np.int32)
         w = -(-n_pad // 128) * 128 + c_land
         bands = packed_band_pallas(
             x, ga_all, gb_all,
             jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(fbv),
-            jnp.asarray(live),
             g=self.g, k=self.k, tile=self.tile, c_pad=self.c_pad,
             c_land=c_land, w=w, n_strips=ns, n_digits=self.n_digits,
             digit_base=self.digit_base, interpret=self.interpret,
@@ -755,11 +784,14 @@ class PackedPairsEngine:
         from ..ops import pairs_packed
 
         ns = self.n_strips
+        land_dtype = self._land_dtype()
         ga_all = _build_ga_all_jit(
-            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+            self._seq_of, self._first_seq, tile=self.tile,
+            c_pad=self.c_pad, dtype=land_dtype,
         )
         gb_all = _build_gb_all_jit(
-            self._seq_of, self._first_seq, tile=self.tile, c_pad=self.c_pad
+            self._seq_of, self._first_seq, tile=self.tile,
+            c_pad=self.c_pad, dtype=land_dtype,
         )
         first_seq = np.asarray(self.pack["first_seq"])
         ab = [(a, b) for a in range(ns) for b in range(a, ns)]

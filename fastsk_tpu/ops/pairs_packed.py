@@ -112,17 +112,32 @@ def build_packed_x(
     dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """One-hot packed window table ``[R, g * alpha]`` (bf16, or int8 for
-    the pair-list Pallas path's int8 MXU D-matmul — 0/1 either way)."""
+    the pair-list Pallas path's int8 MXU D-matmul — 0/1 either way).
+
+    Layout note: the obvious ``codes[..., None] == iota`` builds a
+    [R, g, alpha] intermediate whose minor ``alpha`` dim is lane-padded
+    to 128 and then reshaped to [R, g*alpha] — a full relayout copy that
+    measured ~200 ms for a 100 MB table (~10x the memory bound). Instead
+    the codes spread to the FINAL [R, g*alpha] layout with a tiny
+    selection matmul (``sel[j, f] = 1`` iff ``f // alpha == j``; one-hot
+    rows, so the f32 product is exactly ``codes[r, f // alpha]``) and
+    compare against the static ``f % alpha`` lane pattern — every op
+    runs in the output layout. Pad rows (seq_of < 0) are poisoned to -1
+    before the spread, so the comparison never fires for them."""
     safe_seq = jnp.maximum(seq_of, 0)
     # gather each row's g codes: ids[seq, win + j]
     cols = win_of[:, None] + jnp.arange(g, dtype=jnp.int32)[None, :]
     codes = ids[safe_seq[:, None], cols]  # [R, g]
-    codes = codes - code_min
-    iota = jnp.arange(alpha, dtype=jnp.int32)
-    oh = (codes[..., None] == iota).astype(dtype)
-    oh = oh * (seq_of >= 0)[:, None, None].astype(dtype)
-    r = seq_of.shape[0]
-    return oh.reshape(r, g * alpha)
+    codes = jnp.where((seq_of >= 0)[:, None], codes - code_min, -1)
+    sel = jnp.repeat(jnp.eye(g, dtype=jnp.float32), alpha, axis=1)
+    codes_f = jax.lax.dot_general(
+        codes.astype(jnp.float32),  # values < 2^24: exact in f32
+        sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, g * alpha]
+    cmp = jnp.tile(jnp.arange(alpha, dtype=jnp.float32), g)
+    return (codes_f == cmp[None, :]).astype(dtype)
 
 
 def strip_planes_update(
@@ -281,15 +296,17 @@ def build_gb_all(
     *,
     tile: int,
     c_pad: int,
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Global row -> local-j-sequence one-hot ``[R, c_pad]`` bf16: the
-    column-segmentation map the fused Pallas stage 2 matmuls against
-    (replaces the XLA path's bounds arrays + cumsum)."""
+    """Global row -> local-j-sequence one-hot ``[R, c_pad]`` (bf16, or
+    int8 for the int8-MXU landing stages): the column-segmentation map
+    the fused Pallas stage 2 matmuls against (replaces the XLA path's
+    bounds arrays + cumsum)."""
     r = seq_of.shape[0]
     strip_of = jnp.arange(r, dtype=jnp.int32) // tile
     local = jnp.where(seq_of >= 0, seq_of - first_seq[strip_of], -1)
     iota = jnp.arange(c_pad, dtype=jnp.int32)
-    return (local[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    return (local[:, None] == iota[None, :]).astype(dtype)
 
 
 @functools.partial(
@@ -404,11 +421,12 @@ def build_ga_all(
     *,
     tile: int,
     c_pad: int,
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Per-strip row -> local-i-sequence one-hot ``[n_strips, c_pad,
-    tile]`` bf16 (the transposed per-strip view of build_gb_all), indexed
+    tile]`` (the transposed per-strip view of build_gb_all), indexed
     by the pair-list kernel's scalar-prefetch maps."""
-    gb = build_gb_all(seq_of, first_seq, tile=tile, c_pad=c_pad)
+    gb = build_gb_all(seq_of, first_seq, tile=tile, c_pad=c_pad, dtype=dtype)
     n_strips = seq_of.shape[0] // tile
     return jnp.swapaxes(gb.reshape(n_strips, tile, c_pad), 1, 2)
 
@@ -544,20 +562,21 @@ def build_gb_land(
     *,
     tile: int,
     c_land: int,
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Landing-aligned column map for the band kernel ``[R, c_land]``
-    bf16: row r of strip b maps to column ``seq_of[r] - align128(fb)``
-    where ``fb = first_seq[b]`` — the fb % 128 residue is baked into the
-    one-hot so the kernel's in-VMEM band add can start at the 128-aligned
-    column block below fb (Mosaic requires provably aligned lane starts).
-    Requires ``c_land >= c_max + 127``."""
+    (bf16/int8): row r of strip b maps to column ``seq_of[r] -
+    align128(fb)`` where ``fb = first_seq[b]`` — the fb % 128 residue is
+    baked into the one-hot so the kernel's in-VMEM band add can start at
+    the 128-aligned column block below fb (Mosaic requires provably
+    aligned lane starts). Requires ``c_land >= c_max + 127``."""
     r = seq_of.shape[0]
     strip_of = jnp.arange(r, dtype=jnp.int32) // tile
     fb = first_seq[strip_of]
     base = (fb // 128) * 128
     local = jnp.where(seq_of >= 0, seq_of - base, -1)
     iota = jnp.arange(c_land, dtype=jnp.int32)
-    return (local[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    return (local[:, None] == iota[None, :]).astype(dtype)
 
 
 def strip_block_shard_update(

@@ -32,6 +32,67 @@ from jax.experimental.pallas import tpu as pltpu
 from .pairs_pallas import binom_weight
 
 
+def land_bits(ga_dtype) -> int:
+    """Bits per stage-2 split plane: 8 for the bf16 landing maps, 7 for
+    int8 maps (split values must fit the signed int8 MXU operand)."""
+    return 7 if ga_dtype == jnp.int8 else 8
+
+
+def _land_stages(
+    part_ref,  # [n_digits, c_pad, c_land] int32 scratch (accumulated)
+    rem,  # [T(chunk rows), chunk] f32 — exact integer binomial weights
+    ga,  # [c_pad, T] bf16/int8 one-hot
+    gb,  # [chunk, c_land] bf16/int8 one-hot
+    *,
+    n_digits: int,
+    digit_base: int,
+    n_bytes: int,
+):
+    """Digit-plane landings for one (a, b) chunk: the base-``digit_base``
+    digit split of the weights, stage 1 (rows -> i sequences), and the
+    byte-split stage 2 (columns -> j sequences), accumulated into
+    ``part_ref`` (int32, exact).
+
+    Two operand modes, keyed by the landing maps' dtype:
+
+    - bf16 (digit_base up to 256): digits <= 255 are bf16-exact, stage
+      sums <= T * 255 < 2^24 are f32-exact, and stage 2 splits the
+      int32-ranged s1 into 8-bit planes;
+    - int8 (digit_base <= 128): digits <= 127 fit the signed int8 MXU
+      operand, both stages accumulate exactly in int32 on the int8 MXU
+      (2x bf16 peak on v5e), and stage 2 splits s1 into 7-bit planes.
+    """
+    int8_land = ga.dtype == jnp.int8
+    bits = land_bits(ga.dtype)
+    op_t = jnp.int8 if int8_land else jnp.bfloat16
+    acc_t = jnp.int32 if int8_land else jnp.float32
+    for dig in range(n_digits):
+        if dig + 1 < n_digits:
+            q = jnp.floor(rem * (1.0 / digit_base))
+            digit = rem - q * float(digit_base)
+            rem = q
+        else:
+            digit = rem
+        s1 = jax.lax.dot_general(
+            ga,
+            digit.astype(op_t),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        ).astype(jnp.int32)  # [c_pad, chunk], exact integers
+        for byte in range(n_bytes):
+            b_val = jnp.bitwise_and(
+                jax.lax.shift_right_logical(s1, bits * byte),
+                (1 << bits) - 1,
+            )
+            m = jax.lax.dot_general(
+                b_val.astype(op_t),
+                gb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_t,
+            )  # sums <= chunk * (2^bits - 1): f32-exact / int32 native
+            part_ref[dig] += (1 << (bits * byte)) * m.astype(jnp.int32)
+
+
 def _packed_s1_kernel(
     ab_ref,  # [2] int32 scalar prefetch: (a_strip, b_strip)
     xa_ref,  # [T, F] bf16 — strip a rows
@@ -190,35 +251,10 @@ def _packed_part_kernel(
         preferred_element_type=jnp.float32,
     )  # [T, chunk] — match counts, exact integers <= g
     rem = binom_weight(d, g, k)
-    ga = ga_ref[:]  # [c_pad, T]
-    gb = gb_ref[:]  # [chunk, c_pad]
-    for dig in range(n_digits):
-        if dig + 1 < n_digits:
-            q = jnp.floor(rem * (1.0 / digit_base))
-            digit = rem - q * float(digit_base)
-            rem = q
-        else:
-            digit = rem
-        # stage 1: rows -> i sequences; digits <= 255 are bf16-exact and
-        # sums <= T * 255 < 2^24 are f32-exact
-        s1 = jax.lax.dot_general(
-            ga,
-            digit.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [c_pad, chunk], exact integers < 2^24
-        # stage 2: columns -> j sequences, byte-split (module comment)
-        for byte in range(n_bytes):
-            b_val = jnp.bitwise_and(
-                jax.lax.shift_right_logical(s1, 8 * byte), 0xFF
-            )
-            m = jax.lax.dot_general(
-                b_val.astype(jnp.bfloat16),
-                gb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [c_pad, c_pad] — sums <= chunk * 255 < 2^24, f32-exact
-            part_ref[dig] += (1 << (8 * byte)) * m.astype(jnp.int32)
+    _land_stages(
+        part_ref, rem, ga_ref[:], gb_ref[:],
+        n_digits=n_digits, digit_base=digit_base, n_bytes=n_bytes,
+    )
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -280,35 +316,10 @@ def _packed_pairlist_kernel(
     if int8_in:
         d = d.astype(jnp.float32)
     rem = binom_weight(d, g, k)
-    ga = ga_ref[0]  # [c_pad, T]
-    gb = gb_ref[:]  # [chunk, c_pad]
-    for dig in range(n_digits):
-        if dig + 1 < n_digits:
-            q = jnp.floor(rem * (1.0 / digit_base))
-            digit = rem - q * float(digit_base)
-            rem = q
-        else:
-            digit = rem
-        # stage 1: rows -> i sequences; digits <= 255 are bf16-exact and
-        # sums <= T * 255 < 2^24 are f32-exact
-        s1 = jax.lax.dot_general(
-            ga,
-            digit.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [c_pad, chunk], exact integers < 2^24
-        # stage 2: columns -> j sequences, byte-split (module comment)
-        for byte in range(n_bytes):
-            b_val = jnp.bitwise_and(
-                jax.lax.shift_right_logical(s1, 8 * byte), 0xFF
-            )
-            m = jax.lax.dot_general(
-                b_val.astype(jnp.bfloat16),
-                gb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [c_pad, c_pad] — sums <= chunk * 255 < 2^24, f32-exact
-            part_ref[dig] += (1 << (8 * byte)) * m.astype(jnp.int32)
+    _land_stages(
+        part_ref, rem, ga_ref[0], gb_ref[:],
+        n_digits=n_digits, digit_base=digit_base, n_bytes=n_bytes,
+    )
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -364,7 +375,8 @@ def packed_pairlist_pallas(
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk
-    n_bytes = ((tile * (digit_base - 1)).bit_length() + 7) // 8
+    bits = land_bits(ga_all.dtype)
+    n_bytes = -(-(tile * (digit_base - 1)).bit_length() // bits)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -442,8 +454,9 @@ def packed_part_pallas(
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk
-    # bytes needed for the stage-1 range: s1 <= tile * (digit_base - 1)
-    n_bytes = ((tile * (digit_base - 1)).bit_length() + 7) // 8
+    # split planes for the stage-1 range: s1 <= tile * (digit_base - 1)
+    bits = land_bits(ga.dtype)
+    n_bytes = -(-(tile * (digit_base - 1)).bit_length() // bits)
 
     ab = jnp.stack(
         [a_strip.astype(jnp.int32), group_idx.astype(jnp.int32)]
@@ -527,16 +540,17 @@ def band_vmem_need(
 ):
     """Scoped-memory estimate of one band-kernel step: D tile +
     double-buffered operand blocks + resident band out block + part
-    scratch + the prefetched slot lists (4 int32 arrays, SMEM-resident
-    but counted against the same scoped budget)."""
+    scratch + the prefetched slot lists (3 int32 arrays, SMEM-resident
+    but counted against the same scoped budget). ``xsz`` sizes both the
+    window rows and the landing maps (int8 or bf16 together)."""
     return (
         tile * chunk * 4
         + 2 * (tile * f + chunk * f) * xsz
-        + 2 * c_pad * tile * 2
-        + 2 * chunk * c_land * 2
+        + 2 * c_pad * tile * xsz
+        + 2 * chunk * c_land * xsz
         + 2 * n_digits * c_pad * w * 4
         + n_digits * c_pad * c_land * 4
-        + 4 * slots * 4
+        + 3 * slots * 4
     )
 
 
@@ -558,13 +572,12 @@ def band_vmem_feasible(
 
 def _packed_band_kernel(
     pa_ref,  # [S] int32 scalar prefetch: a strip per slot (sorted)
-    pb_ref,  # [S] int32 scalar prefetch: b strip per slot (0 for pads)
+    pb_ref,  # [S] int32 scalar prefetch: b strip per slot
     fb_ref,  # [S] int32 scalar prefetch: first_seq[b] // 128 (block index)
-    live_ref,  # [S] int32 scalar prefetch: 0 for padding slots
     xa_ref,  # [T, F] bf16/int8 — strip a rows
     xb_ref,  # [chunk, F] bf16/int8 — strip b column chunk
-    ga_ref,  # [1, c_pad, T] bf16
-    gb_ref,  # [chunk, c_land] bf16 — one-hot pre-shifted by fb % 128
+    ga_ref,  # [1, c_pad, T] bf16/int8
+    gb_ref,  # [chunk, c_land] bf16/int8 — one-hot pre-shifted by fb % 128
     band_ref,  # out [1, n_digits, c_pad, W] int32 — strip a's row band
     part_ref,  # [n_digits, c_pad, c_land] int32 scratch
     *,
@@ -577,6 +590,10 @@ def _packed_band_kernel(
     c_pad: int,
     c_land: int,
 ):
+    # NOTE: no padding slots — the grid covers exactly the caller's slot
+    # list, so every slot is live (the per-slot mask a pairlist-style
+    # padded slab needs would cost one VPU multiply over the whole
+    # [T, chunk] weight tile per step, ~5% of the kernel's VPU budget).
     p = pl.program_id(0)
     c = pl.program_id(1)
     a_first = (p == 0) | (pa_ref[p] != pa_ref[jnp.maximum(p - 1, 0)])
@@ -589,7 +606,6 @@ def _packed_band_kernel(
     def _():
         part_ref[...] = jnp.zeros(part_ref.shape, part_ref.dtype)
 
-    live = (live_ref[p] > 0).astype(jnp.float32)
     int8_in = xa_ref.dtype == jnp.int8
     d = jax.lax.dot_general(
         xa_ref[:],
@@ -599,33 +615,11 @@ def _packed_band_kernel(
     )  # [T, chunk] — match counts, exact small integers
     if int8_in:
         d = d.astype(jnp.float32)
-    rem = binom_weight(d, g, k) * live
-    ga = ga_ref[0]  # [c_pad, T]
-    gb = gb_ref[:]  # [chunk, c_pad]
-    for dig in range(n_digits):
-        if dig + 1 < n_digits:
-            q = jnp.floor(rem * (1.0 / digit_base))
-            digit = rem - q * float(digit_base)
-            rem = q
-        else:
-            digit = rem
-        s1 = jax.lax.dot_general(
-            ga,
-            digit.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [c_pad, chunk], exact integers < 2^24
-        for byte in range(n_bytes):
-            b_val = jnp.bitwise_and(
-                jax.lax.shift_right_logical(s1, 8 * byte), 0xFF
-            )
-            m = jax.lax.dot_general(
-                b_val.astype(jnp.bfloat16),
-                gb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            part_ref[dig] += (1 << (8 * byte)) * m.astype(jnp.int32)
+    rem = binom_weight(d, g, k)
+    _land_stages(
+        part_ref, rem, ga_ref[0], gb_ref[:],
+        n_digits=n_digits, digit_base=digit_base, n_bytes=n_bytes,
+    )
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -647,12 +641,11 @@ def _packed_band_kernel(
 )
 def packed_band_pallas(
     x: jnp.ndarray,  # [R, F] bf16/int8 packed one-hot window rows
-    ga_all: jnp.ndarray,  # [n_strips, c_pad, tile] bf16
-    gb_all: jnp.ndarray,  # [R, c_land] bf16 (build_gb_land: fb%128-shifted)
+    ga_all: jnp.ndarray,  # [n_strips, c_pad, tile] bf16/int8
+    gb_all: jnp.ndarray,  # [R, c_land] bf16/int8 (build_gb_land)
     pa: jnp.ndarray,  # [S] int32 — a strip per slot, sorted ascending
-    pb: jnp.ndarray,  # [S] int32 — b strip per slot (0 on pads)
+    pb: jnp.ndarray,  # [S] int32 — b strip per slot
     fb: jnp.ndarray,  # [S] int32 — first_seq[pb] // 128 (block index)
-    live: jnp.ndarray,  # [S] int32 — 0 on padding slots
     *,
     g: int,
     k: int,
@@ -667,13 +660,15 @@ def packed_band_pallas(
 ) -> jnp.ndarray:
     """Row bands ``[n_strips, n_digits, c_pad, w]`` int32: band a holds
     the (fa, fb)-landed part blocks of every pair (a, b) — the full
-    upper-triangle sweep in ONE dispatch, no scatter."""
+    upper-triangle sweep in ONE dispatch, no scatter. Landing maps in
+    int8 run both landing stages on the int8 MXU (_land_stages)."""
     import os
 
     r, f = x.shape
     assert r % tile == 0, (r, tile)
     (s,) = pa.shape
-    xsz = 1 if x.dtype == jnp.int8 else 2
+    # conservative: size operands at the wider of x / landing-map dtypes
+    xsz = 1 if (x.dtype == jnp.int8 and ga_all.dtype == jnp.int8) else 2
     cap = int(os.environ.get("FASTSK_VMEM_CAP_MB", "15")) * 2**20
     chunk = tile
     while chunk > 128 and band_vmem_need(
@@ -683,34 +678,35 @@ def packed_band_pallas(
         chunk //= 2
     chunk = min(max(chunk, 128), tile)
     n_chunks = tile // chunk
-    n_bytes = ((tile * (digit_base - 1)).bit_length() + 7) // 8
+    bits = land_bits(ga_all.dtype)
+    n_bytes = -(-(tile * (digit_base - 1)).bit_length() // bits)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(s, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (tile, f), lambda p, c, pa, pb, fb, lv: (pa[p], 0)
+                (tile, f), lambda p, c, pa, pb, fb: (pa[p], 0)
             ),
             pl.BlockSpec(
                 (chunk, f),
-                lambda p, c, pa, pb, fb, lv, _n=n_chunks: (
+                lambda p, c, pa, pb, fb, _n=n_chunks: (
                     pb[p] * _n + c, 0
                 ),
             ),
             pl.BlockSpec(
-                (1, c_pad, tile), lambda p, c, pa, pb, fb, lv: (pa[p], 0, 0)
+                (1, c_pad, tile), lambda p, c, pa, pb, fb: (pa[p], 0, 0)
             ),
             pl.BlockSpec(
                 (chunk, c_land),
-                lambda p, c, pa, pb, fb, lv, _n=n_chunks: (
+                lambda p, c, pa, pb, fb, _n=n_chunks: (
                     pb[p] * _n + c, 0
                 ),
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, n_digits, c_pad, w),
-            lambda p, c, pa, pb, fb, lv: (pa[p], 0, 0, 0),
+            lambda p, c, pa, pb, fb: (pa[p], 0, 0, 0),
         ),
         scratch_shapes=[pltpu.VMEM((n_digits, c_pad, c_land), jnp.int32)],
     )
@@ -738,4 +734,4 @@ def packed_band_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pa, pb, fb, live, x, x, ga_all, gb_all)
+    )(pa, pb, fb, x, x, ga_all, gb_all)

@@ -81,6 +81,11 @@ def _pairs_kernel(
     tj = c_tj * p_pad
     chunk = tj // n_chunks
     int8_in = xi_ref.dtype == jnp.int8
+    # stage-1 sums in f32 when exact (p_pad * C(g,k) < 2^24): the
+    # f32->int32 cast then runs on the p_pad-times-smaller s1 slice
+    # instead of per D element — the weight chain is the VPU bottleneck
+    # of this kernel, so per-element ops are the scarce resource
+    s1_f32 = p_pad * math.comb(g, k) < (1 << 24)
     # skip tiles strictly below the window-space diagonal (mirrored later)
     live = (j + 1) * tj > i * ti
 
@@ -100,12 +105,17 @@ def _pairs_kernel(
             )  # [TI, chunk] — match counts, exact small integers
             if int8_in:
                 d = d.astype(jnp.float32)
-            w = binom_weight(d, g, k).astype(jnp.int32)
+            w = binom_weight(d, g, k)
             # windows -> sequences, stage 1: sum over the p axis (sublane-
-            # group reshape-sum) in int32 — exact to 2^31, covered by the
-            # engine's p_pad^2 * C(g,k) < 2^31 guard
-            s1_ref[:, c * chunk : (c + 1) * chunk] = jnp.sum(
-                w.reshape(c_ti, p_pad, chunk), axis=1
+            # group reshape-sum) — f32-exact when the bound above holds
+            # (partial sums <= p_pad * C(g,k) < 2^24), int32 otherwise
+            # (exact to 2^31, covered by the engine's p_pad^2 * C(g,k)
+            # < 2^31 guard)
+            if not s1_f32:
+                w = w.astype(jnp.int32)
+            s1 = jnp.sum(w.reshape(c_ti, p_pad, chunk), axis=1)
+            s1_ref[:, c * chunk : (c + 1) * chunk] = (
+                s1.astype(jnp.int32) if s1_f32 else s1
             )
         # stage 2: sum over the q axis in int32; the transpose keeps the
         # group reshape on the sublane dim

@@ -44,6 +44,18 @@ TPU_HBM_BW: dict[str, float] = {
     "v6e": 1.64e12,
 }
 
+# per-chip VPU elementwise throughput, ops/s (ESTIMATES: 8 sublanes x
+# 128 lanes x 4 ALUs x clock — the public pages don't quote VPU peaks;
+# clocks from the same system-architecture tables). Used only for the
+# composite kernel bound below, where the binomial-weight chain is
+# VPU-resident and dominates several engines.
+TPU_VPU_OPS: dict[str, float] = {
+    "v4": 4.3e12,
+    "v5e": 3.8e12,
+    "v5p": 7.2e12,
+    "v6e": 7.2e12,
+}
+
 
 def classify_device(device) -> Optional[str]:
     """Map a jax Device to a TPU generation key, or None if unknown."""
@@ -148,6 +160,112 @@ def packed_engine_flops(engine) -> dict:
         "ai": 2.0 * macs / max(bytes_hbm, 1),
         "n_slots": n_slots,
     }
+
+
+def ffact_vpu_ops(k: int) -> int:
+    """VPU ops of ops/pairs_pallas.ffact_pairing per element: t costs a
+    sub+mul, each pairing step an add+mul, an odd tail a sub+mul."""
+    if k <= 1:
+        return 0
+    return 2 + 2 * (k // 2 - 1) + (2 if k % 2 else 0)
+
+
+def pairs_kernel_composite(engine, device) -> dict:
+    """Serialized MXU+VPU bound for the seq-aligned pairs kernel
+    (ops/pairs_pallas._pairs_kernel) and its per-element op model.
+
+    The kernel is a dependency chain per chunk — D matmul (MXU) ->
+    binomial weight + digit-free int32 reshape-sums (VPU) — so the wall
+    is bounded below by t_mxu + t_vpu, NOT max(...): Mosaic does not
+    software-pipeline compute across grid steps (only DMA). Per D
+    element the VPU executes: int->f32 cast (1, int8 path), ffact
+    (ffact_vpu_ops), reciprocal-multiply + round for /k! (2), f32->int32
+    cast (1), the p-axis reduction add (~1), and the stage-2 add
+    (~1/p_pad, dropped). MXU time pads the contraction F up to the
+    128-lane tile (the physical passes actually issued).
+    """
+    rl = pairs_engine_flops(engine)
+    f = engine.g * engine.alpha
+    f_pad = -(-f // 128) * 128
+    elements = rl["flops"] / 2.0 / f  # live-tile D elements
+    vpu_per = (
+        (1 if rl["dtype"] == "int8" else 0)
+        + ffact_vpu_ops(engine.k) + 2 + 1 + 1
+    )
+    gen = classify_device(device)
+    if gen is None:
+        return {"bound_s": None}
+    t_mxu = rl["flops"] * (f_pad / f) / TPU_PEAKS[gen][rl["dtype"]]
+    t_vpu = elements * vpu_per / TPU_VPU_OPS[gen]
+    return {
+        "t_mxu": t_mxu,
+        "t_vpu": t_vpu,
+        "vpu_ops_per_element": vpu_per,
+        "bound_s": t_mxu + t_vpu,
+    }
+
+
+def packed_band_composite(engine, device) -> dict:
+    """Serialized MXU+VPU bound for the packed band/pair-list kernels
+    (ops/pairs_packed_pallas): D matmul + landing matmuls (MXU) and the
+    weight/digit-split chain (VPU), per D element:
+
+      int->f32 cast (1) + ffact + /k! reciprocal+round (2)
+      + 3 ops per non-last digit (split) + 1 operand cast per digit.
+
+    Landing matmul time counts both stages at their operand dtype's
+    peak, with the stage-1 M dim (c_pad) padded to the dtype's sublane
+    tile. The D contraction F pads to the 128-lane tile.
+    """
+    rl = packed_engine_flops(engine)
+    tile, f = engine.tile, engine.g * engine.alpha
+    f_pad = -(-f // 128) * 128
+    slots = rl["n_slots"]
+    elements = float(slots) * tile * tile
+    nd = engine.n_digits
+    vpu_per = 1 + ffact_vpu_ops(engine.k) + 2 + 3 * (nd - 1) + nd
+    gen = classify_device(device)
+    if gen is None:
+        return {"bound_s": None}
+    try:
+        land_int8 = engine._land_dtype().__name__ == "int8"
+    except Exception:
+        land_int8 = False
+    land_key = "int8" if land_int8 else "bf16"
+    sub = 32 if land_int8 else 16
+    c_pad_p = -(-engine.c_pad // sub) * sub
+    c_land = -(-(engine.c_pad + 128) // 128) * 128
+    bits = 7 if land_int8 else 8
+    n_bytes = -(-(tile * (engine.digit_base - 1)).bit_length() // bits)
+    land_macs = float(slots) * (
+        nd * c_pad_p * tile * tile  # stage 1
+        + nd * n_bytes * c_pad_p * tile * c_land  # stage 2
+    )
+    t_mxu = (
+        rl["flops"] * (f_pad / f) / TPU_PEAKS[gen][rl["dtype"]]
+        + 2.0 * land_macs / TPU_PEAKS[gen][land_key]
+    )
+    t_vpu = elements * vpu_per / TPU_VPU_OPS[gen]
+    return {
+        "t_mxu": t_mxu,
+        "t_vpu": t_vpu,
+        "vpu_ops_per_element": vpu_per,
+        "bound_s": t_mxu + t_vpu,
+    }
+
+
+def format_composite_line(label: str, comp: dict, wall_s: float) -> str:
+    """One human-readable line comparing a measured wall to the
+    serialized composite bound."""
+    if not comp.get("bound_s"):
+        return f"{label}: no composite bound off-TPU"
+    return (
+        f"{label}: wall {wall_s * 1e3:.0f} ms vs serialized MXU+VPU bound "
+        f"{comp['bound_s'] * 1e3:.0f} ms "
+        f"(MXU {comp['t_mxu'] * 1e3:.0f} + VPU {comp['t_vpu'] * 1e3:.0f} "
+        f"@ {comp['vpu_ops_per_element']} ops/elt) = "
+        f"{100 * comp['bound_s'] / max(wall_s, 1e-12):.0f}% of bound"
+    )
 
 
 def format_mfu_line(

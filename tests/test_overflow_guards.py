@@ -21,11 +21,16 @@ from conftest import random_ragged_seqs
 def test_packed_tile_not_widened_for_long_sequences(rng):
     """tile=4096 with base 256 would overflow stage-2 cumsum when a single
     sequence contributes > ~2048 rows to a strip — the engine must keep
-    the safe tile for long sequences and may widen only for short ones."""
+    the safe tile for long sequences and may widen only for short ones.
+
+    g=10, m=6: C(10,4) = 210 needs two base-128 planes but one base-256
+    plane, so the int8-landing preference does NOT kick in and the
+    digit base stays 256 — the configuration where the cumsum bound
+    actually binds."""
     # p_max in (2048, 2901]: digit_base stays 256 and a 4096 tile would
     # break the cumsum bound — the engine must keep tile=2048
     X_long = [rng.integers(1, 5, size=2500).tolist() for _ in range(3)]
-    eng = PackedPairsEngine(encode_sequences(X_long), 8, 4, KernelConfig())
+    eng = PackedPairsEngine(encode_sequences(X_long), 10, 6, KernelConfig())
     assert eng.digit_base == 256
     assert (
         eng.tile * min(eng.tile, -(-int(max(map(len, X_long))) // 8) * 8)
@@ -36,8 +41,22 @@ def test_packed_tile_not_widened_for_long_sequences(rng):
 
     # short DNA still gets the wide tile
     X_short = [rng.integers(1, 5, size=200).tolist() for _ in range(3)]
-    eng2 = PackedPairsEngine(encode_sequences(X_short), 8, 4, KernelConfig())
+    eng2 = PackedPairsEngine(encode_sequences(X_short), 10, 6, KernelConfig())
     assert eng2.tile == 2 * PackedPairsEngine.TILE
+
+
+def test_packed_digit_base_128_preference(rng):
+    """C(g, k) <= 127 keeps one plane at base 128, so the engine picks
+    the int8-MXU landing base; the cumsum/plane bounds (which only
+    loosen with the smaller base) must still hold after any widening."""
+    X_long = [rng.integers(1, 5, size=2500).tolist() for _ in range(3)]
+    eng = PackedPairsEngine(encode_sequences(X_long), 8, 4, KernelConfig())
+    assert eng.digit_base == 128 and eng.n_digits == 1
+    p_rows = -(-int(max(map(len, X_long))) // 8) * 8
+    assert eng.tile * min(eng.tile, p_rows) * (eng.digit_base - 1) < 2**31
+    # base 128 loosens the widening bound: 4096 * 2504 * 127 < 2^31,
+    # so the short-sequence wide tile is now legal for long ones too
+    assert eng.tile == 2 * PackedPairsEngine.TILE
 
 
 def test_count_split_theta_batch_capped():

@@ -205,10 +205,11 @@ def main() -> None:
         out["mfu_pct"] = round(100 * mfu_frac, 1)
         out["mfu_dtype"] = rl["dtype"]
     if comp.get("bound_s"):
-        out["composite_bound_s"] = round(comp["bound_s"], 2)
-        out["pct_of_composite_bound"] = round(
-            100 * comp["bound_s"] / wall_mfu, 1
+        # bracket: [perfect MXU/VPU overlap, fully serialized chain]
+        out["composite_floor_s"] = round(
+            max(comp["t_mxu"], comp["t_vpu"]), 2
         )
+        out["composite_ceil_s"] = round(comp["bound_s"], 2)
     print(json.dumps(out))
 
 

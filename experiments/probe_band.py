@@ -12,6 +12,7 @@ prints the roofline MFU of the band dispatch alone.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -75,17 +76,31 @@ def main():
 
     # per-rep DIFFERENT input values: the remote-execution layer
     # content-addresses dispatches, so identical buffers shortcut to
-    # ~0 ms. A row roll ON DEVICE keeps shapes/dtypes/ranges
-    # (timing-identical work) while defeating the cache, with no
-    # per-rep host upload polluting the timings (the engine pays the
-    # ids transfer once, at construction).
+    # ~0 ms. A row roll keeps shapes/dtypes/ranges (timing-identical
+    # work) while defeating the cache. The roll is FUSED into the
+    # build_x jit on the resident ids buffer — a separate on-device
+    # roll (or any eager op / standalone warm-up pull on a device_put
+    # buffer) hangs this remote platform, and a host-side roll would
+    # charge a ~10 MB per-rep upload to the build_x phase that the
+    # real engine pays only once at construction.
+    from fastsk_tpu.ops.pairs_packed import build_packed_x
+
+    @functools.partial(
+        jax.jit, static_argnames=("g", "alpha", "code_min", "dtype")
+    )
+    def build_x_rolled(ids, r, seq_of, win_of, *, g, alpha, code_min,
+                       dtype):
+        return build_packed_x(
+            jnp.roll(ids, r, axis=0), seq_of, win_of,
+            g=g, alpha=alpha, code_min=code_min, dtype=dtype,
+        )
+
     ids0 = eng._ids
-    roll_jit = jax.jit(lambda a, r: jnp.roll(a, r, axis=0))
     for rep in range(args.reps):
-        eng._ids = roll_jit(ids0, jnp.int32(rep))
+        rep_dev = jax.device_put(np.int32(rep))
         t0 = time.perf_counter()
-        x = block(_build_packed_x_jit(
-            eng._ids, eng._seq_of, eng._win_of,
+        x = block(build_x_rolled(
+            ids0, rep_dev, eng._seq_of, eng._win_of,
             g=eng.g, alpha=eng.alpha, code_min=eng.code_min,
             dtype=jnp.int8,
         ))

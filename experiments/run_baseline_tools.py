@@ -183,16 +183,25 @@ def main():
                 )
         rows.append(row)
 
-    keys = []
+    # merge with prior rows (keyed by dataset) so partial reruns
+    # (--datasets X) refresh only their own rows
+    path = os.path.join(OUTDIR, "oracle_comparison.csv")
+    merged: dict = {}
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                merged[r["dataset"]] = r
     for r in rows:
+        merged[r["dataset"]] = r
+    keys = []
+    for r in merged.values():
         for c in r:
             if c not in keys:
                 keys.append(c)
-    path = os.path.join(OUTDIR, "oracle_comparison.csv")
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
-        w.writerows(rows)
+        w.writerows(merged.values())
     log(f"wrote {path}")
 
 

@@ -588,10 +588,14 @@ class PackedPairsEngine:
     def _land_dtype(self):
         """Landing-map dtype for the fused band/pair-list kernels: int8
         when every digit fits the signed int8 MXU operand (digit_base <=
-        128 — both landing stages then run at 2x bf16 peak on v5e),
-        bf16 otherwise. The interpret-mode tests exercise the same
-        dtype the device would pick. ``FASTSK_LAND_DTYPE=bf16|int8``
-        overrides (A/B probes; results are bit-identical either way)."""
+        128) AND the split is single-digit — measured v5e A/B (probe_band,
+        same window): protein 1.1 (1 digit) planes 575 -> 436 ms on int8,
+        but AImed (2 digits) 1085 -> 1294 ms, the extra per-element
+        f32->int8 digit casts outweighing the halved landing matmuls on
+        that VPU-bound shape. bf16 otherwise. The interpret-mode tests
+        exercise the same dtype the device would pick;
+        ``FASTSK_LAND_DTYPE=bf16|int8`` overrides (A/B probes; results
+        are bit-identical either way)."""
         import os
 
         env = os.environ.get("FASTSK_LAND_DTYPE")
@@ -600,7 +604,9 @@ class PackedPairsEngine:
         if env == "int8":
             return jnp.int8
         return (
-            jnp.int8 if self.digit_base <= 128 else jnp.bfloat16
+            jnp.int8
+            if self.digit_base <= 128 and self.n_digits == 1
+            else jnp.bfloat16
         )
 
     def _compute_planes(self, x, n_pad: int):

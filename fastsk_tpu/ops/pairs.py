@@ -70,12 +70,25 @@ def onehot_windows(
     p = length - g + 1
     cols = [jax.lax.slice_in_dim(ids, j, j + p, axis=1) for j in range(g)]
     win = jnp.stack(cols, axis=-1)  # [N, P, g]
-    win = win - code_min
     pos = jnp.arange(p, dtype=jnp.int32)
     valid = pos[None, :] <= (lengths[:, None] - g)  # [N, P]
-    iota = jnp.arange(alpha, dtype=jnp.int32)
-    oh = ((win[..., None] == iota) & valid[:, :, None, None]).astype(dtype)
-    oh = oh.reshape(n, p, g * alpha)
+    # Relayout-free one-hot (see ops/pairs_packed.build_packed_x): the
+    # naive win[..., None] == iota builds an [N, P, g, alpha] intermediate
+    # whose minor alpha dim is lane-padded to 128 and then reshaped — a
+    # full relayout copy. Spread the codes to the final [N, P, g*alpha]
+    # layout with a one-hot-row selection matmul (exact in f32) and
+    # compare against the static f % alpha lane pattern; invalid windows
+    # are poisoned to -1 so the comparison never fires.
+    win = jnp.where(valid[:, :, None], win - code_min, -1)
+    sel = jnp.repeat(jnp.eye(g, dtype=jnp.float32), alpha, axis=1)
+    win_f = jax.lax.dot_general(
+        win.astype(jnp.float32),  # values < 2^24: exact in f32
+        sel,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, P, g * alpha]
+    cmp = jnp.tile(jnp.arange(alpha, dtype=jnp.float32), g)
+    oh = (win_f == cmp[None, None, :]).astype(dtype)
     if p_pad > p:
         oh = jnp.pad(oh, ((0, 0), (0, p_pad - p), (0, 0)))
     return oh

@@ -255,16 +255,19 @@ def packed_band_composite(engine, device) -> dict:
 
 
 def format_composite_line(label: str, comp: dict, wall_s: float) -> str:
-    """One human-readable line comparing a measured wall to the
-    serialized composite bound."""
+    """One human-readable line placing a measured wall against the
+    composite bracket [max(MXU, VPU), MXU + VPU]: Mosaic overlaps the
+    units partially across grid steps (measured walls land between the
+    perfectly-overlapped floor and the fully-serialized ceiling)."""
     if not comp.get("bound_s"):
         return f"{label}: no composite bound off-TPU"
+    lo = max(comp["t_mxu"], comp["t_vpu"])
+    hi = comp["bound_s"]
     return (
-        f"{label}: wall {wall_s * 1e3:.0f} ms vs serialized MXU+VPU bound "
-        f"{comp['bound_s'] * 1e3:.0f} ms "
-        f"(MXU {comp['t_mxu'] * 1e3:.0f} + VPU {comp['t_vpu'] * 1e3:.0f} "
-        f"@ {comp['vpu_ops_per_element']} ops/elt) = "
-        f"{100 * comp['bound_s'] / max(wall_s, 1e-12):.0f}% of bound"
+        f"{label}: wall {wall_s * 1e3:.0f} ms vs composite bracket "
+        f"[{lo * 1e3:.0f}, {hi * 1e3:.0f}] ms "
+        f"(MXU {comp['t_mxu'] * 1e3:.0f}, VPU {comp['t_vpu'] * 1e3:.0f} "
+        f"@ {comp['vpu_ops_per_element']} ops/elt)"
     )
 
 

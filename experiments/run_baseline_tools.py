@@ -98,6 +98,9 @@ def main():
                     help="per-tool-stage timeout (reference skip-at-1800s)")
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--skip-tools", action="store_true",
+                    help="only (re)measure the ours columns; the "
+                         "column-wise CSV merge keeps prior tool rows")
     ap.add_argument("--datasets", nargs="*", default=None)
     args = ap.parse_args()
     os.makedirs(OUTDIR, exist_ok=True)
@@ -117,6 +120,8 @@ def main():
         gkm = GkmRunner(GKM_BIN, tmp, dataset, g, k, approx=False,
                         outdir=tmp, timeout=args.timeout)
         try:
+            if args.skip_tools:
+                raise BaselineNotInstalled("--skip-tools")
             gkm.ensure_split_data(f"{DATA}/{dataset}.train.fasta",
                                   f"{DATA}/{dataset}.test.fasta")
             t0 = time.perf_counter()
@@ -135,13 +140,16 @@ def main():
             row["gkm_auc"] = "TIMEOUT"
             log("gkmSVM-2.0: TIMEOUT")
         except (BaselineNotInstalled, subprocess.CalledProcessError) as e:
-            row["gkm_auc"] = f"ERROR:{type(e).__name__}"
-            log(f"gkmSVM-2.0: {e}")
+            if str(e) != "--skip-tools":
+                row["gkm_auc"] = f"ERROR:{type(e).__name__}"
+                log(f"gkmSVM-2.0: {e}")
 
         # ---- LSGKM (gkm_full kernel, t=2 per run_lsgkm.py)
         ls = LsgkmRunner(LSGKM_BIN, tmp, dataset, g, m, outdir=tmp,
                          timeout=args.timeout)
         try:
+            if args.skip_tools:
+                raise BaselineNotInstalled("--skip-tools")
             t0 = time.perf_counter()
             ls.train(t=args.threads)
             row["lsgkm_train_s"] = round(time.perf_counter() - t0, 2)
@@ -151,8 +159,9 @@ def main():
             row["lsgkm_auc"] = "TIMEOUT"
             log("LSGKM: TIMEOUT")
         except (BaselineNotInstalled, subprocess.CalledProcessError) as e:
-            row["lsgkm_auc"] = f"ERROR:{type(e).__name__}"
-            log(f"LSGKM: {e}")
+            if str(e) != "--skip-tools":
+                row["lsgkm_auc"] = f"ERROR:{type(e).__name__}"
+                log(f"LSGKM: {e}")
         else:
             from fastsk_tpu.harness.baselines import (
                 _acc_auc,
@@ -183,8 +192,9 @@ def main():
                 )
         rows.append(row)
 
-    # merge with prior rows (keyed by dataset) so partial reruns
-    # (--datasets X) refresh only their own rows
+    # merge with prior rows (keyed by dataset, column-wise) so partial
+    # reruns (--datasets X, --skip-ours / ours-only passes) refresh only
+    # the columns they actually measured
     path = os.path.join(OUTDIR, "oracle_comparison.csv")
     merged: dict = {}
     if os.path.exists(path):
@@ -192,7 +202,19 @@ def main():
             for r in csv.DictReader(f):
                 merged[r["dataset"]] = r
     for r in rows:
-        merged[r["dataset"]] = r
+        prev = merged.get(r["dataset"], {})
+        merged[r["dataset"]] = {
+            **prev,
+            **{k: v for k, v in r.items() if v not in ("", None)},
+        }
+    for r in merged.values():
+        try:
+            r["kernel_speedup_vs_gkm"] = round(
+                float(r["gkm_kernel_s"]) / float(r["ours_kernel_steady_s"]),
+                1,
+            )
+        except (KeyError, TypeError, ValueError):
+            pass
     keys = []
     for r in merged.values():
         for c in r:

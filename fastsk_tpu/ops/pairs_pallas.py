@@ -81,11 +81,28 @@ def _pairs_kernel(
     tj = c_tj * p_pad
     chunk = tj // n_chunks
     int8_in = xi_ref.dtype == jnp.int8
-    # stage-1 sums in f32 when exact (p_pad * C(g,k) < 2^24): the
-    # f32->int32 cast then runs on the p_pad-times-smaller s1 slice
-    # instead of per D element — the weight chain is the VPU bottleneck
-    # of this kernel, so per-element ops are the scarce resource
-    s1_f32 = p_pad * math.comb(g, k) < (1 << 24)
+    # Deferred /k!: land the falling factorial ff = k! * C(d, k) per
+    # element and divide once per s1 slice (p_pad times fewer elements)
+    # — any sum of ff values is k!-divisible, so the division commutes
+    # with stage 1. Drops the per-element reciprocal-multiply + round
+    # from the VPU weight chain. Measured NEUTRAL on the v5e headline
+    # (2.04 vs 2.03 s — the wall is not purely VPU-op-count-bound);
+    # kept because it shortens the per-element dependency chain at zero
+    # measured cost and is exactness-tested at the bound
+    # (tests/test_overflow_guards.py). Exactness needs
+    # (a) ff exact in f32: g!/(g-k)! < 2^24 (same bound as the fast
+    # binom path), (b) the int32 stage-1 sum in range:
+    # p_pad * g!/(g-k)! < 2^31, and (c) the s1-level round-multiply to
+    # recover the exact integer S = s1/k!: cast + reciprocal + product
+    # rounding compose to |r - S| < S * 2^-22, so S = p_pad * C(g, k)
+    # < 2^21 guarantees error < 0.5 (EP300 headline: 192 * 8008 =
+    # 1.54e6 < 2^21).
+    ffmax = math.factorial(g) // math.factorial(g - k)
+    defer_div = (
+        ffmax < (1 << 24)
+        and p_pad * ffmax < (1 << 31)
+        and p_pad * math.comb(g, k) < (1 << 21)
+    )
     # skip tiles strictly below the window-space diagonal (mirrored later)
     live = (j + 1) * tj > i * ti
 
@@ -105,18 +122,28 @@ def _pairs_kernel(
             )  # [TI, chunk] — match counts, exact small integers
             if int8_in:
                 d = d.astype(jnp.float32)
-            w = binom_weight(d, g, k)
+            if defer_div:
+                w = ffact_pairing(d, k).astype(jnp.int32)
+            else:
+                w = binom_weight(d, g, k).astype(jnp.int32)
             # windows -> sequences, stage 1: sum over the p axis (sublane-
-            # group reshape-sum) — f32-exact when the bound above holds
-            # (partial sums <= p_pad * C(g,k) < 2^24), int32 otherwise
-            # (exact to 2^31, covered by the engine's p_pad^2 * C(g,k)
-            # < 2^31 guard)
-            if not s1_f32:
-                w = w.astype(jnp.int32)
+            # group reshape-sum) in int32 — exact to 2^31, covered by the
+            # engine's p_pad^2 * C(g,k) < 2^31 guard (defer_div: by the
+            # p_pad * ffmax < 2^31 bound above).
+            # NEGATIVE RESULT (measured, v5e headline bench): summing in
+            # f32 to move the int32 cast onto the p_pad-times-smaller s1
+            # slice REGRESSED 2.03 -> 3.75 s — Mosaic's int32 sublane
+            # reshape-sum is ~2x faster than the f32 one, and the
+            # per-element cast is effectively free next to the weight
+            # chain. Keep the cast per element; defer only the /k!.
             s1 = jnp.sum(w.reshape(c_ti, p_pad, chunk), axis=1)
-            s1_ref[:, c * chunk : (c + 1) * chunk] = (
-                s1.astype(jnp.int32) if s1_f32 else s1
-            )
+            if defer_div:
+                # exact integer recovery per the error bound above
+                s1 = jnp.round(
+                    s1.astype(jnp.float32)
+                    * (1.0 / float(math.factorial(k)))
+                ).astype(jnp.int32)
+            s1_ref[:, c * chunk : (c + 1) * chunk] = s1
         # stage 2: sum over the q axis in int32; the transpose keeps the
         # group reshape on the sublane dim
         s1t = s1_ref[:].T  # [tj, c_ti]

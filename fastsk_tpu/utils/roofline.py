@@ -44,11 +44,13 @@ TPU_HBM_BW: dict[str, float] = {
     "v6e": 1.64e12,
 }
 
-# per-chip VPU elementwise throughput, ops/s (ESTIMATES: 8 sublanes x
-# 128 lanes x 4 ALUs x clock — the public pages don't quote VPU peaks;
-# clocks from the same system-architecture tables). Used only for the
-# composite kernel bound below, where the binomial-weight chain is
-# VPU-resident and dominates several engines.
+# per-chip VPU elementwise throughput, ops/s (ROUGH ESTIMATES: 8
+# sublanes x 128 lanes x 4 ALUs x clock — the public pages don't quote
+# VPU peaks, and per-op costs vary (fma vs cast vs floor), so treat the
+# composite brackets below as directional within ~2x: they identify
+# WHICH unit binds a kernel (MXU vs the VPU weight chain), not a
+# precise floor. Measured walls across the three instrumented kernels
+# land between 0.7x and 1.4x of their bracket with this table.
 TPU_VPU_OPS: dict[str, float] = {
     "v4": 4.3e12,
     "v5e": 3.8e12,
@@ -188,9 +190,17 @@ def pairs_kernel_composite(engine, device) -> dict:
     f = engine.g * engine.alpha
     f_pad = -(-f // 128) * 128
     elements = rl["flops"] / 2.0 / f  # live-tile D elements
+    # mirror ops/pairs_pallas._pairs_kernel: the /k! reciprocal+round
+    # (2 ops) defers to the s1 slice in the defer_div region
+    ffmax = math.factorial(engine.g) // math.factorial(engine.g - engine.k)
+    defer_div = (
+        ffmax < (1 << 24)
+        and engine.p_pad * ffmax < (1 << 31)
+        and engine.p_pad * math.comb(engine.g, engine.k) < (1 << 21)
+    )
     vpu_per = (
         (1 if rl["dtype"] == "int8" else 0)
-        + ffact_vpu_ops(engine.k) + 2 + 1 + 1
+        + ffact_vpu_ops(engine.k) + (0 if defer_div else 2) + 1 + 1
     )
     gen = classify_device(device)
     if gen is None:

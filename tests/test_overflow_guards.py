@@ -101,6 +101,43 @@ def test_pallas_interpret_large_binomial_repetitive():
     assert upper[1, 1] == expect
 
 
+def test_pallas_deferred_division_near_bound():
+    """The deferred-/k! path (headline shape family) at a worst case
+    near its error bound: g=16 m=10 on all-identical sequences drives
+    every stage-1 sum to p * C(16,6) ~ 1.48e6 — within 4% of the EP300
+    headline's maximum and under the 2^21 guard — where the s1-level
+    round-multiply must still recover the exact integer."""
+    import math
+
+    import jax.numpy as jnp
+
+    from fastsk_tpu.ops import pairs
+    from fastsk_tpu.ops.pairs_pallas import pairs_kernel_blocks
+
+    g, m = 16, 10
+    k = g - m
+    L = 200
+    X = [[1] * L, [1] * L]
+    enc = encode_sequences(X)
+    p = L - g + 1  # 185 true windows per sequence
+    p_pad = -(-(enc.max_len - g + 1) // 8) * 8
+    ffmax = math.factorial(g) // math.factorial(g - k)
+    assert ffmax < 2**24 and p_pad * ffmax < 2**31
+    assert p_pad * math.comb(g, k) < 2**21  # the defer_div region
+    x = pairs.onehot_windows(
+        jnp.asarray(enc.ids), jnp.asarray(enc.lengths),
+        g=g, alpha=enc.hash_base, code_min=enc.code_min, p_pad=p_pad,
+    ).reshape(2 * p_pad, g * enc.hash_base)
+    blocks = pairs_kernel_blocks(
+        x, g=g, k=k, p_pad=p_pad, c_ti=1, c_tj=2, interpret=True
+    )
+    upper = np.asarray(blocks, dtype=np.int64).transpose(0, 2, 1, 3).reshape(2, 2)
+    expect = p * p * math.comb(g, k)
+    assert upper[0, 0] == expect
+    assert upper[0, 1] == expect
+    assert upper[1, 1] == expect
+
+
 def test_checkpoint_digest_distinguishes_theta_streams(tmp_path, rng):
     """An exact run must not resume a different-ordered (seeded approx)
     run's checkpoint of the same length: digests must differ with order."""

@@ -153,6 +153,29 @@ def test_packed_pairlist_multi_slab(rng, small_tile, monkeypatch):
     np.testing.assert_array_equal(K_o, eng.exact())
 
 
+def test_landing_dtype_policy(rng, small_tile):
+    """int8 landing maps iff single-digit base <= 128 (measured v5e
+    policy — see PackedPairsEngine._land_dtype): C(8,4)=70 -> one
+    base-128 digit -> int8; C(11,7)=330 -> two digits -> bf16;
+    C(10,4)=210 -> one base-256 digit (128 would need two) -> bf16."""
+    import jax.numpy as jnp
+
+    X = random_ragged_seqs(rng, 6, 16, 40, alphabet=4)
+
+    def eng(g, m):
+        return PackedPairsEngine(encode_sequences(X), g, m, KernelConfig())
+
+    e = eng(8, 4)
+    assert (e.digit_base, e.n_digits) == (128, 1)
+    assert e._land_dtype() == jnp.int8
+    e = eng(11, 4)
+    assert (e.digit_base, e.n_digits) == (128, 2)
+    assert e._land_dtype() == jnp.bfloat16
+    e = eng(10, 6)
+    assert (e.digit_base, e.n_digits) == (256, 1)
+    assert e._land_dtype() == jnp.bfloat16
+
+
 def test_planes_to_host_tiles_and_fallback(rng):
     """The tiled upper-triangle transfer path must reproduce the plain
     per-plane combination, including across 512-tile boundaries and on

@@ -53,7 +53,6 @@ def main():
     g, alpha, code_min = eng.g, eng.alpha, eng.code_min
     r = int(eng._seq_of.shape[0])
     log(f"{args.dataset}: R={r} g={g} alpha={alpha} F={g * alpha}")
-    ids_host = np.asarray(enc.ids)[eng.order]
     seq_of, win_of = eng._seq_of, eng._win_of
 
     def pull(a):
@@ -61,7 +60,11 @@ def main():
         return a
 
     @functools.partial(jax.jit, static_argnames=("g",))
-    def gather_codes(ids, seq_of, win_of, *, g):
+    def gather_codes(ids, r, seq_of, win_of, *, g):
+        # the roll is fused into each probed jit (see probe_band.py:
+        # separate on-device rolls / eager warm-ups hang this platform,
+        # host-side rolls charge a per-rep upload to the phase)
+        ids = jnp.roll(ids, r, axis=0)
         safe_seq = jnp.maximum(seq_of, 0)
         cols = win_of[:, None] + jnp.arange(g, dtype=jnp.int32)[None, :]
         codes = ids[safe_seq[:, None], cols]
@@ -84,13 +87,11 @@ def main():
         oh = (codes[..., None] == iota).astype(jnp.int8)
         return oh.reshape(codes.shape[0], g * alpha)
 
+    ids0 = eng._ids
     for rep in range(args.reps):
-        ids = jax.device_put(np.roll(ids_host, rep, axis=0))
-        # warm the async upload (the engine pays it once at construction);
-        # must go through jit — eager ops on device_put buffers hang here
-        np.asarray(jax.jit(lambda a: a.sum().reshape(1))(ids))
+        rep_dev = jax.device_put(np.int32(rep))
         t0 = time.perf_counter()
-        codes = pull(gather_codes(ids, seq_of, win_of, g=g))
+        codes = pull(gather_codes(ids0, rep_dev, seq_of, win_of, g=g))
         t_gather = time.perf_counter() - t0
         t0 = time.perf_counter()
         pull(spread_matmul(codes, g=g, alpha=alpha))

@@ -252,6 +252,52 @@ def plot_sorted_approx(path, out):
     fig.savefig(out, dpi=150)
 
 
+def plot_oracle_tools(path, out):
+    """Measured third-party tool comparison (the reference's
+    run_gkm.py / gkm_dna_tests.py figure family, from REAL runs of the
+    vendored gkmSVM-2.0/LSGKM builds — results_baselines/
+    oracle_comparison.csv): log-scale kernel/train walls per dataset for
+    gkmSVM-2.0 (CPU, 4 threads), LSGKM, and ours (v5e, steady), with
+    each bar's AUC annotated."""
+    rows = _read(path)
+    series = [
+        ("gkmSVM-2.0 kernel", "gkm_kernel_s", "gkm_auc", _CAT[1]),
+        ("LSGKM train", "lsgkm_train_s", "lsgkm_auc", _CAT[2]),
+        ("ours kernel (TPU)", "ours_kernel_steady_s", "ours_auc", _CAT[0]),
+    ]
+    names = [f"{r['dataset']}\ng={r['g']} m={r['m']}" for r in rows]
+    fig, ax = plt.subplots(figsize=(1.8 + 1.9 * len(rows), 4.0))
+    width = 0.26
+    for si, (label, tcol, acol, color) in enumerate(series):
+        xs, vs, aucs = [], [], []
+        for xi, r in enumerate(rows):
+            try:
+                vs.append(float(r[tcol]))
+            except (KeyError, ValueError):
+                continue
+            xs.append(xi + (si - 1) * width)
+            try:
+                aucs.append(f"{float(r[acol]):.3f}")
+            except (KeyError, ValueError):
+                aucs.append("")
+        bars = ax.bar(xs, vs, width, color=color, label=label)
+        for b, vi, auc in zip(bars, vs, aucs):
+            ax.annotate(
+                f"{vi:.3g}s\n{auc}", (b.get_x() + width / 2, vi),
+                ha="center", va="bottom", fontsize=7, color="#52514e",
+            )
+    ax.set_xticks(range(len(rows)))
+    ax.set_xticklabels(names, fontsize=8)
+    ax.set_yscale("log")
+    ax.set_ylabel("wall (s, log scale)")
+    ax.set_title("measured tool comparison (AUC under each bar)")
+    ax.grid(axis="y", alpha=0.25, linewidth=0.5)
+    ax.set_axisbelow(True)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 def plot_trainsize(path, out, fastsk_auc=None):
     """DL-baseline train-size curves (the reference's
     trainsize_varyresults family, results/neural_nets/run_cnn.py): mean
@@ -361,6 +407,7 @@ PLOTTERS = {
     "sorted_approx": plot_sorted_approx,
     "trainsize": plot_trainsize,
     "e2e": plot_e2e,
+    "comparison": plot_oracle_tools,
 }
 
 

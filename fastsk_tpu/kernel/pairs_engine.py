@@ -602,7 +602,12 @@ class PackedPairsEngine:
         if env == "bf16":
             return jnp.bfloat16
         if env == "int8":
-            return jnp.int8
+            # digits must fit the signed int8 operand — the override is
+            # ignored (not an error) for bases above 128 so a blanket
+            # env setting can't corrupt base-256 configurations
+            if self.digit_base <= 128:
+                return jnp.int8
+            return jnp.bfloat16
         return (
             jnp.int8
             if self.digit_base <= 128 and self.n_digits == 1

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--datasets", nargs="*", default=None)
+    ap.add_argument("--force", action="store_true",
+                    help="rerun selected rows even if present (e.g. a "
+                         "higher-budget refresh; each row records its "
+                         "own seeds/epochs)")
     ap.add_argument("--out", default=os.path.join(
         HERE, "results_dl", "alldata_dl_summary.csv"))
     args = ap.parse_args()
@@ -71,7 +75,7 @@ def main():
             log(f"{ds}: fasta pair missing, skipped")
             continue
         for model in args.models:
-            if (ds, model) in done:
+            if (ds, model) in done and not args.force:
                 continue
             t0 = time.perf_counter()
             try:

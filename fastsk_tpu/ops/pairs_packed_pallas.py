@@ -23,19 +23,42 @@ the bf16 stage-1 matmul exactly, accumulating to <= T * 255 < 2^24 in f32.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pairs_pallas import binom_weight
+from .pairs_pallas import binom_weight, ffact_pairing_i32
 
 
 def land_bits(ga_dtype) -> int:
     """Bits per stage-2 split plane: 8 for the bf16 landing maps, 7 for
     int8 maps (split values must fit the signed int8 MXU operand)."""
     return 7 if ga_dtype == jnp.int8 else 8
+
+
+def _weights_from_counts(d, g: int, k: int):
+    """Exact binomial weights C(d, k) from MXU match counts ``d``.
+
+    int8-MXU path with ff < 2^24 (round 5): the falling factorial runs
+    natively in the int32 the MXU produced (no casts — measured 1.64x on
+    the seq-aligned headline kernel, experiments/probe_pairs.py), and
+    the exact /k! is one f32 round-multiply (ff f32-exact below 2^24,
+    quotient C(g,k) <= C(20,10) < 2^18 so rounding recovers it) landing
+    back in int32 so _land_stages can digit-split with bit ops.
+    Otherwise: the f32 chain via binom_weight.
+    """
+    ffmax = math.factorial(g) // math.factorial(g - k)
+    if d.dtype == jnp.int32 and ffmax < (1 << 24):
+        return jnp.round(
+            ffact_pairing_i32(d, k).astype(jnp.float32)
+            * (1.0 / float(math.factorial(k)))
+        ).astype(jnp.int32)
+    if d.dtype == jnp.int32:
+        d = d.astype(jnp.float32)
+    return binom_weight(d, g, k)
 
 
 def _land_stages(
@@ -66,11 +89,22 @@ def _land_stages(
     bits = land_bits(ga.dtype)
     op_t = jnp.int8 if int8_land else jnp.bfloat16
     acc_t = jnp.int32 if int8_land else jnp.float32
+    i32_rem = rem.dtype == jnp.int32
+    if i32_rem:
+        # int32 weights (round-5 chain): digit_base is always a power of
+        # two (the engine halves down from 256), so the digit split is
+        # two VPU bit-ops instead of the floor/multiply f32 sequence
+        assert digit_base & (digit_base - 1) == 0, digit_base
+        base_shift = digit_base.bit_length() - 1
     for dig in range(n_digits):
         if dig + 1 < n_digits:
-            q = jnp.floor(rem * (1.0 / digit_base))
-            digit = rem - q * float(digit_base)
-            rem = q
+            if i32_rem:
+                digit = jnp.bitwise_and(rem, digit_base - 1)
+                rem = jax.lax.shift_right_logical(rem, base_shift)
+            else:
+                q = jnp.floor(rem * (1.0 / digit_base))
+                digit = rem - q * float(digit_base)
+                rem = q
         else:
             digit = rem
         s1 = jax.lax.dot_general(
@@ -313,9 +347,7 @@ def _packed_pairlist_kernel(
         # int8 path: 0/1 operands on the int8 MXU; exact int32 counts <= g
         preferred_element_type=jnp.int32 if int8_in else jnp.float32,
     )  # [T, chunk] — match counts, exact small integers
-    if int8_in:
-        d = d.astype(jnp.float32)
-    rem = binom_weight(d, g, k)
+    rem = _weights_from_counts(d, g, k)
     _land_stages(
         part_ref, rem, ga_ref[0], gb_ref[:],
         n_digits=n_digits, digit_base=digit_base, n_bytes=n_bytes,
@@ -613,9 +645,7 @@ def _packed_band_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32 if int8_in else jnp.float32,
     )  # [T, chunk] — match counts, exact small integers
-    if int8_in:
-        d = d.astype(jnp.float32)
-    rem = binom_weight(d, g, k)
+    rem = _weights_from_counts(d, g, k)
     _land_stages(
         part_ref, rem, ga_ref[0], gb_ref[:],
         n_digits=n_digits, digit_base=digit_base, n_bytes=n_bytes,

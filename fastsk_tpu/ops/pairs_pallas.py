@@ -45,6 +45,28 @@ def ffact_pairing(d: jnp.ndarray, k: int) -> jnp.ndarray:
     return prod
 
 
+def ffact_pairing_i32(d: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Falling factorial d(d-1)...(d-k+1) natively in int32.
+
+    Same balanced pairing as :func:`ffact_pairing` but with NO dtype
+    casts: ``d`` stays the int32 the int8 MXU produced.  Exact whenever
+    the result fits int32 (callers guard ``g!/(g-k)! < 2^24``, far
+    inside).  Measured on the v5e headline bench (experiments/
+    probe_pairs.py, round 5): the f32 chain (cast + ~k f32 ops + cast)
+    costs +1.59 s over the matmul+reduction skeleton; this int32 chain
+    costs +0.61 s — a 1.64x kernel-level speedup at identical checksums.
+    """
+    if k == 1:
+        return d
+    t = d * (d - (k - 1))
+    prod = t
+    for i in range(1, k // 2):
+        prod = prod * (t + i * (k - 1 - i))
+    if k % 2:
+        prod = prod * (d - (k - 1) // 2)
+    return prod
+
+
 def binom_weight(d: jnp.ndarray, g: int, k: int) -> jnp.ndarray:
     """Exact C(d, k) for integer-valued f32 d in [0, g].
 
@@ -120,12 +142,29 @@ def _pairs_kernel(
                 # exact int32 match counts <= g
                 preferred_element_type=jnp.int32 if int8_in else jnp.float32,
             )  # [TI, chunk] — match counts, exact small integers
-            if int8_in:
-                d = d.astype(jnp.float32)
-            if defer_div:
-                w = ffact_pairing(d, k).astype(jnp.int32)
+            if int8_in and ffmax < (1 << 24):
+                # int32-native weight chain: the match counts stay in the
+                # int32 the int8 MXU produced, the falling factorial runs
+                # in int32 (< 2^24, exact), and the /k! happens either on
+                # the s1 slice (defer_div) or per-element via one f32
+                # round-multiply (ff < 2^24 is f32-exact; quotient
+                # C(g,k) <= C(20,10) < 2^18 so rounding recovers it).
+                # Measured (probe_pairs.py, v5e): 2.53 -> 1.55 s headline
+                # vs the f32 chain — the two dtype casts plus f32 mul
+                # latency were ~60% of the whole kernel wall.
+                w = ffact_pairing_i32(d, k)
+                if not defer_div:
+                    w = jnp.round(
+                        w.astype(jnp.float32)
+                        * (1.0 / float(math.factorial(k)))
+                    ).astype(jnp.int32)
             else:
-                w = binom_weight(d, g, k).astype(jnp.int32)
+                if int8_in:
+                    d = d.astype(jnp.float32)
+                if defer_div:
+                    w = ffact_pairing(d, k).astype(jnp.int32)
+                else:
+                    w = binom_weight(d, g, k).astype(jnp.int32)
             # windows -> sequences, stage 1: sum over the p axis (sublane-
             # group reshape-sum) in int32 — exact to 2^31, covered by the
             # engine's p_pad^2 * C(g,k) < 2^31 guard (defer_div: by the

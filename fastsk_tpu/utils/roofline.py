@@ -58,6 +58,27 @@ TPU_VPU_OPS: dict[str, float] = {
     "v6e": 7.2e12,
 }
 
+# per-chip VPU per-op throughput MEASURED by kernel-variant subtraction
+# (experiments/probe_pairs.py, round 5): full banded headline dispatches
+# differing ONLY in the per-element weight chain, so the chain cost is
+# the wall difference over 9.98e11 live D elements.  v5e: the int32
+# chain (6 ops/elt) cost +0.609 s -> 9.8e12 int32 op/s; the f32 chain
+# (6 f32 ops + 2 casts) cost +1.593 s -> 5.0e12 f32-mix op/s.  These
+# replace the ~2x-directional estimate above for generations measured;
+# unmeasured generations fall back to TPU_VPU_OPS for every op kind.
+TPU_VPU_OPS_MEASURED: dict[str, dict[str, float]] = {
+    "v5e": {"i32": 9.8e12, "f32": 5.0e12},
+}
+
+
+def vpu_rate(gen: str, kind: str) -> float:
+    """Per-op VPU throughput for ``kind`` in {"i32", "f32"} — measured
+    where available (TPU_VPU_OPS_MEASURED), estimated otherwise."""
+    meas = TPU_VPU_OPS_MEASURED.get(gen)
+    if meas and kind in meas:
+        return meas[kind]
+    return TPU_VPU_OPS[gen]
+
 
 def classify_device(device) -> Optional[str]:
     """Map a jax Device to a TPU generation key, or None if unknown."""
@@ -179,12 +200,12 @@ def pairs_kernel_composite(engine, device) -> dict:
     The kernel is a dependency chain per chunk — D matmul (MXU) ->
     binomial weight + digit-free int32 reshape-sums (VPU) — so the wall
     is bounded below by t_mxu + t_vpu, NOT max(...): Mosaic does not
-    software-pipeline compute across grid steps (only DMA). Per D
-    element the VPU executes: int->f32 cast (1, int8 path), ffact
-    (ffact_vpu_ops), reciprocal-multiply + round for /k! (2), f32->int32
-    cast (1), the p-axis reduction add (~1), and the stage-2 add
-    (~1/p_pad, dropped). MXU time pads the contraction F up to the
-    128-lane tile (the physical passes actually issued).
+    software-pipeline compute across grid steps (only DMA). The op
+    model mirrors the kernel's dtype choice (int32-native ffact on the
+    int8 path since round 5, f32 chain otherwise) and uses the
+    probe-measured per-op rates where available (TPU_VPU_OPS_MEASURED).
+    MXU time pads the contraction F up to the 128-lane tile (the
+    physical passes actually issued).
     """
     rl = pairs_engine_flops(engine)
     f = engine.g * engine.alpha
@@ -198,15 +219,25 @@ def pairs_kernel_composite(engine, device) -> dict:
         and engine.p_pad * ffmax < (1 << 31)
         and engine.p_pad * math.comb(engine.g, engine.k) < (1 << 21)
     )
-    vpu_per = (
-        (1 if rl["dtype"] == "int8" else 0)
-        + ffact_vpu_ops(engine.k) + (0 if defer_div else 2) + 1 + 1
-    )
     gen = classify_device(device)
     if gen is None:
         return {"bound_s": None}
     t_mxu = rl["flops"] * (f_pad / f) / TPU_PEAKS[gen][rl["dtype"]]
-    t_vpu = elements * vpu_per / TPU_VPU_OPS[gen]
+    if rl["dtype"] == "int8" and ffmax < (1 << 24):
+        # int32-native chain (round 5): ffact in int32, no casts; the
+        # p-axis reduction measured ~free (skeleton - matmul = +0.02 s
+        # on the headline probe — it overlaps the MXU), counted at one
+        # int32 op to stay a bound.  Non-defer shapes add the
+        # per-element f32 recovery (cast+mul+round+cast ~ 4 f32 ops).
+        n_i32 = ffact_vpu_ops(engine.k) + 1
+        n_f32 = 0 if defer_div else 4
+    else:
+        n_i32 = 2  # reduction add + int cast
+        n_f32 = ffact_vpu_ops(engine.k) + (0 if defer_div else 2) + 1
+    vpu_per = n_i32 + n_f32
+    t_vpu = elements * (
+        n_i32 / vpu_rate(gen, "i32") + n_f32 / vpu_rate(gen, "f32")
+    )
     return {
         "t_mxu": t_mxu,
         "t_vpu": t_vpu,
@@ -233,7 +264,18 @@ def packed_band_composite(engine, device) -> dict:
     slots = rl["n_slots"]
     elements = float(slots) * tile * tile
     nd = engine.n_digits
-    vpu_per = 1 + ffact_vpu_ops(engine.k) + 2 + 3 * (nd - 1) + nd
+    ffmax = math.factorial(engine.g) // math.factorial(engine.g - engine.k)
+    i32_chain = rl["dtype"] == "int8" and ffmax < (1 << 24)
+    if i32_chain:
+        # round-5 chain: int32 ffact (no casts) + bit-op digit split;
+        # f32 work is the /k! recovery (cast+mul+round+cast ~4) plus
+        # one cast per digit to the landing operand dtype
+        n_i32 = ffact_vpu_ops(engine.k) + 2 * (nd - 1)
+        n_f32 = 4 + nd
+    else:
+        n_i32 = 0
+        n_f32 = 1 + ffact_vpu_ops(engine.k) + 2 + 3 * (nd - 1) + nd
+    vpu_per = n_i32 + n_f32
     gen = classify_device(device)
     if gen is None:
         return {"bound_s": None}
@@ -255,7 +297,9 @@ def packed_band_composite(engine, device) -> dict:
         rl["flops"] * (f_pad / f) / TPU_PEAKS[gen][rl["dtype"]]
         + 2.0 * land_macs / TPU_PEAKS[gen][land_key]
     )
-    t_vpu = elements * vpu_per / TPU_VPU_OPS[gen]
+    t_vpu = elements * (
+        n_i32 / vpu_rate(gen, "i32") + n_f32 / vpu_rate(gen, "f32")
+    )
     return {
         "t_mxu": t_mxu,
         "t_vpu": t_vpu,

@@ -55,6 +55,8 @@ def main():
             row["delta_max_vs_published"] = ""
         rows.append(row)
 
+    if not rows:
+        sys.exit("no rows in alldata_dl_summary.csv")
     out = os.path.join(HERE, "results_dl", "alldata_vs_published.csv")
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))

@@ -82,10 +82,15 @@ def onehot_windows(
     win = jnp.where(valid[:, :, None], win - code_min, -1)
     sel = jnp.repeat(jnp.eye(g, dtype=jnp.float32), alpha, axis=1)
     win_f = jax.lax.dot_general(
-        win.astype(jnp.float32),  # values < 2^24: exact in f32
+        win.astype(jnp.float32),
         sel,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: default TPU precision truncates f32 operands to bf16,
+        # which is only exact for codes <= 256 — force true-f32 products
+        # so any code value < 2^24 spreads exactly (ADVICE r4). The sel
+        # operand is [g, g*alpha]: negligible next to the D matmuls.
+        precision=jax.lax.Precision.HIGHEST,
     )  # [N, P, g * alpha]
     cmp = jnp.tile(jnp.arange(alpha, dtype=jnp.float32), g)
     oh = (win_f == cmp[None, None, :]).astype(dtype)

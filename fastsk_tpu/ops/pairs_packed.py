@@ -131,10 +131,14 @@ def build_packed_x(
     codes = jnp.where((seq_of >= 0)[:, None], codes - code_min, -1)
     sel = jnp.repeat(jnp.eye(g, dtype=jnp.float32), alpha, axis=1)
     codes_f = jax.lax.dot_general(
-        codes.astype(jnp.float32),  # values < 2^24: exact in f32
+        codes.astype(jnp.float32),
         sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: default TPU precision truncates f32 operands to bf16,
+        # which is only exact for codes <= 256 — force true-f32 products
+        # so any code value < 2^24 spreads exactly (ADVICE r4)
+        precision=jax.lax.Precision.HIGHEST,
     )  # [R, g * alpha]
     cmp = jnp.tile(jnp.arange(alpha, dtype=jnp.float32), g)
     return (codes_f == cmp[None, :]).astype(dtype)

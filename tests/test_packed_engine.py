@@ -176,6 +176,27 @@ def test_landing_dtype_policy(rng, small_tile):
     assert e._land_dtype() == jnp.bfloat16
 
 
+def test_landing_int8_override_multi_digit_exact(rng, small_tile,
+                                                 monkeypatch):
+    """FASTSK_LAND_DTYPE=int8 on a MULTI-digit base-128 split (g=11 m=4:
+    C(11,7)=330 -> two base-128 digits) must stay exact: digits <= 127
+    fit the signed int8 operand and both stages accumulate in int32.
+    The default policy picks bf16 here, so the override path had no
+    interpret-mode exactness coverage (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("FASTSK_LAND_DTYPE", "int8")
+    X = random_ragged_seqs(rng, 8, 12, 40, alphabet=4)
+    enc = encode_sequences(X)
+    eng = PackedPairsEngine(
+        enc, 11, 4, KernelConfig(pairs_backend="pallas_interpret")
+    )
+    assert (eng.digit_base, eng.n_digits) == (128, 2)
+    assert eng._land_dtype() == jnp.int8
+    K_o = oracle.exact_counts(X, 11, 4)
+    np.testing.assert_array_equal(K_o, eng.exact())
+
+
 def test_planes_to_host_tiles_and_fallback(rng):
     """The tiled upper-triangle transfer path must reproduce the plain
     per-plane combination, including across 512-tile boundaries and on

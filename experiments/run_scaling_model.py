@@ -46,11 +46,19 @@ def dense_row(enc, g, m, mesh, n_dev):
     from fastsk_tpu.kernel.engine import DenseGkmEngine
     from fastsk_tpu.parallel import sharding as shd
 
+    import jax
+    import jax.numpy as jnp
+
     eng = DenseGkmEngine(enc, g, m, KernelConfig(mesh=mesh))
     R = mesh.shape[shd.ROWS_AXIS]
     T = mesh.shape[shd.THETA_AXIS]
     np_pad = eng.n_padded
     n_local = np_pad // R
+    # MEASURED per-device state: the actual accumulator under the
+    # engine's sharding (VERDICT r4 item 9 — model vs measured)
+    acc = jnp.zeros((np_pad, np_pad), jnp.int32, device=eng._rows_sharding)
+    measured = max(s.data.nbytes for s in acc.addressable_shards)
+    assert measured == n_local * np_pad * 4, (measured, n_local, np_pad)
     b = eng.b1 * eng.b2
     tb = eng.theta_batch
     # one batch: all_gather of counts [tb, n_local, B] over rows
@@ -61,6 +69,7 @@ def dense_row(enc, g, m, mesh, n_dev):
     return dict(
         engine="dense_theta",
         state_bytes_per_dev=n_local * np_pad * 4,
+        state_bytes_measured=measured,
         work_units_per_dev=f"{tb} thetas/batch x {batches} batches",
         comm_bytes_per_dev_step=int(ag + ps),
         steps=batches,
@@ -73,10 +82,21 @@ def sorted_rows(enc, g, m, mesh, n_dev):
     from fastsk_tpu.kernel.sorted_engine import SortedGkmEngine
     from fastsk_tpu.parallel import sharding as shd
 
+    import jax
+    import jax.numpy as jnp
+
     eng = SortedGkmEngine(enc, g, m, KernelConfig(mesh=mesh, sorted_slab=256))
     R = mesh.shape[shd.ROWS_AXIS]
     T = mesh.shape[shd.THETA_AXIS]
     n_rows = -(-eng.n // R)
+    # MEASURED: the row-strip accumulator exactly as
+    # _sum_stream_rowsharded builds it
+    rows_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(shd.ROWS_AXIS, None)
+    )
+    k_rows = jnp.zeros((R * n_rows, eng.n), jnp.int32, device=rows_sharding)
+    measured = max(s.data.nbytes for s in k_rows.addressable_shards)
+    assert measured == n_rows * eng.n * 4, (measured, n_rows, eng.n)
     import math
 
     total = math.comb(g, g - m)
@@ -88,6 +108,7 @@ def sorted_rows(enc, g, m, mesh, n_dev):
     return dict(
         engine="sorted_rows",
         state_bytes_per_dev=n_rows * eng.n * 4,
+        state_bytes_measured=measured,
         work_units_per_dev=f"{eng.theta_batch} thetas/batch x {steps} batches"
         f" (sort duplicated x{R})",
         comm_bytes_per_dev_step=int(ps),
@@ -100,9 +121,26 @@ def packed_rows(enc, g, m, mesh, n_dev):
     from fastsk_tpu.kernel.config import KernelConfig
     from fastsk_tpu.kernel.pairs_engine import PackedPairsEngine
 
+    from fastsk_tpu.parallel import sharding as _shd_mod
+
     orig = PackedPairsEngine.TILE
     PackedPairsEngine.TILE = 64
+    orig_ring = _shd_mod.packed_ring_rowsharded
+    measured = {}
+
+    def spy(blocks_dev, x_dev, *a, **kw):
+        # MEASURED per-device persistent state: the plane row block plus
+        # the ring-traveling operand shard, exactly as dispatched
+        measured["plane"] = max(
+            s.data.nbytes for s in blocks_dev.addressable_shards
+        )
+        measured["operand"] = max(
+            s.data.nbytes for s in x_dev.addressable_shards
+        )
+        return orig_ring(blocks_dev, x_dev, *a, **kw)
+
     try:
+        _shd_mod.packed_ring_rowsharded = spy
         eng = PackedPairsEngine(enc, g, m, KernelConfig(mesh=mesh))
         ns = eng.n_strips
         spd = -(-ns // n_dev)
@@ -116,10 +154,21 @@ def packed_rows(enc, g, m, mesh, n_dev):
         f = eng.g * eng.alpha
         rows = eng.total_rows
         shard_rows = -(-ns // n_dev) * eng.tile
+        if n_dev > 1:
+            eng.exact()  # fires the spy (mesh_state="sharded" default)
+            assert measured["plane"] == eng.n_digits * blk * n_pad * 4, (
+                measured, eng.n_digits, blk, n_pad
+            )
+            assert measured["operand"] == shard_rows * f * 2, (
+                measured, shard_rows, f
+            )
         return dict(
             engine="packed_ring",
             state_bytes_per_dev=(
                 eng.n_digits * blk * n_pad * 4 + shard_rows * f * 2
+            ),
+            state_bytes_measured=(
+                measured["plane"] + measured["operand"] if measured else ""
             ),
             work_units_per_dev=f"{spd}^2 x {n_dev} ring steps (ordered)",
             # each shard visits every peer once: (D-1) ppermute hops of
@@ -130,6 +179,7 @@ def packed_rows(enc, g, m, mesh, n_dev):
         )
     finally:
         PackedPairsEngine.TILE = orig
+        _shd_mod.packed_ring_rowsharded = orig_ring
 
 
 def main():
@@ -149,7 +199,10 @@ def main():
     enc_p = encode_sequences(Xp)
 
     rows = []
-    for n_dev in (1, 2, 4, 8):
+    for n_dev in (1, 2, 4, 8, 16, 32):
+        if n_dev > len(jax.devices()):
+            log(f"n_dev={n_dev}: skipped (only {len(jax.devices())} devices)")
+            continue
         shapes = {default_mesh_shape(n_dev), (n_dev, 1)}
         for shape in sorted(shapes):
             mesh = make_mesh(*shape)

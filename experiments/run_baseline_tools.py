@@ -46,18 +46,23 @@ from fastsk_tpu.harness.baselines import (  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = "/root/reference/data"
 GKM_BIN = os.path.join(REPO, "tools", "baselines", "gkmsvm")
+# protein needs a separate gkmSVM-2.0 build: MAX_ALPHABET_SIZE 24 +
+# NBITS 5 (global.h:26-28) + the -A dictionary flag — exactly the
+# recompile the reference prescribes (results/run_experiments.py:314-322)
+GKM_PROT_BIN = os.path.join(REPO, "tools", "baselines", "gkmsvm-prot")
+PROT_DICT = os.path.join(DATA, "protein.dictionary.txt")
 LSGKM_BIN = os.path.join(REPO, "tools", "baselines", "lsgkm-master", "bin")
 OUTDIR = os.path.join(REPO, "experiments", "results_baselines")
 
-# dataset, g, m, tuned C — the reference's per-dataset params
-# (results/spreadsheets/performance_results_summary.csv rows)
+# dataset, g, m, tuned C, is_protein — the reference's per-dataset
+# params (results/spreadsheets/performance_results_summary.csv rows)
 CONFIGS = [
-    ("EP300", 10, 4, 1.0),
-    ("KAT2B", 8, 4, 1.0),
-    ("EP300_47848", 11, 5, 1.0),
+    ("EP300", 10, 4, 1.0, False),
+    ("KAT2B", 8, 4, 1.0, False),
+    ("EP300_47848", 11, 5, 1.0, False),
     # protein: the reference's published gkm failure case — gkm AUC
-    # 0.272 on 1.1 (performance_results_summary.csv:2) vs fastsk ~0.94
-    ("1.1", 8, 4, 0.01),
+    # 0.272 on 1.1 (performance_results_summary.csv:2) vs fastsk ~0.85
+    ("1.1", 8, 4, 0.01, True),
 ]
 
 
@@ -111,7 +116,7 @@ def main():
     os.makedirs(tmp, exist_ok=True)
 
     rows = []
-    for dataset, g, m, C in CONFIGS:
+    for dataset, g, m, C, is_prot in CONFIGS:
         if args.datasets and dataset not in args.datasets:
             continue
         k = g - m
@@ -120,7 +125,9 @@ def main():
         log(f"=== {dataset} g={g} m={m} (k={k}) ===")
 
         # ---- gkmSVM-2.0 (exact: -d = g truncation disabled)
-        gkm = GkmRunner(GKM_BIN, tmp, dataset, g, k, approx=False,
+        gkm = GkmRunner(GKM_PROT_BIN if is_prot else GKM_BIN, tmp,
+                        dataset, g, k, approx=False,
+                        alphabet=PROT_DICT if is_prot else None,
                         outdir=tmp, timeout=args.timeout)
         try:
             if args.skip_tools:
@@ -151,6 +158,12 @@ def main():
         ls = LsgkmRunner(LSGKM_BIN, tmp, dataset, g, m, outdir=tmp,
                          timeout=args.timeout)
         try:
+            if is_prot:
+                # LSGKM hardcodes the ACGT alphabet (lsgkm
+                # src/libsvm_gkm.c seq2bid); the reference only ever
+                # ran it on DNA (results/run_lsgkm.py)
+                row["lsgkm_auc"] = "n/a (DNA-only tool)"
+                raise BaselineNotInstalled("--skip-tools")
             if args.skip_tools:
                 raise BaselineNotInstalled("--skip-tools")
             t0 = time.perf_counter()

@@ -42,6 +42,16 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=64)
+    # reference-recipe knobs (run_rnn.py: plain SGD lr 0.01, class-
+    # weighted CE, -em 32 --hidden 64) for the targeted LSTM refresh
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    ap.add_argument("--momentum", type=float, default=0.9,
+                    help="sgd momentum; 0 = the reference's plain SGD")
+    ap.add_argument("--class-weight", default=None,
+                    choices=[None, "balanced"])
+    ap.add_argument("--embed", type=int, default=None)
+    ap.add_argument("--hidden", type=int, default=None)
     ap.add_argument("--datasets", nargs="*", default=None)
     ap.add_argument("--force", action="store_true",
                     help="rerun selected rows even if present (e.g. a "
@@ -82,6 +92,10 @@ def main():
                 rows = run_repeats(
                     model, tr, te, seeds=args.seeds,
                     epochs=args.epochs, batch_size=args.batch_size,
+                    lr=args.lr, optimizer=args.optimizer,
+                    momentum=args.momentum or None,
+                    class_weight=args.class_weight,
+                    embedding_size=args.embed, hidden_size=args.hidden,
                 )
             except Exception as e:
                 log(f"{ds} {model}: ERROR {type(e).__name__}: {e}")

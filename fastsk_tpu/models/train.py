@@ -64,6 +64,10 @@ def train_model(
     max_len: Optional[int] = None,
     seed: int = 0,
     train_fraction: float = 1.0,
+    embedding_size: Optional[int] = None,
+    hidden_size: Optional[int] = None,
+    momentum: Optional[float] = 0.9,
+    class_weight: Optional[str] = None,
 ) -> TrainResult:
     reader = FastaUtility()
     Xtr, Ytr = reader.read_data(train_file)
@@ -93,7 +97,15 @@ def train_model(
 
         params = model.init(key, *inputs(toks_tr[:2], len_tr[:2]), train=False)
     elif model_kind == "lstm":
-        model = SeqLSTM(vocab_size=vocab_size, n_classes=n_classes)
+        # size defaults follow the reference's run_rnn.py (-em 32,
+        # --hidden 64); the round-3 sweep's larger 64/128 remains
+        # available through the explicit arguments
+        model = SeqLSTM(
+            vocab_size=vocab_size,
+            n_classes=n_classes,
+            embedding_size=embedding_size or 64,
+            hidden_size=hidden_size or 128,
+        )
 
         def inputs(toks, lengths):
             return (jnp.asarray(toks), jnp.asarray(lengths))
@@ -103,14 +115,26 @@ def train_model(
         raise ValueError(f"unknown model kind {model_kind!r}")
 
     # the reference's hyper-tune grid spans sgd and adam
-    # (results/neural_nets/cnn_hyperTrTune.py:59-60)
+    # (results/neural_nets/cnn_hyperTrTune.py:59-60); run_rnn.py's
+    # default LSTM optimizer is PLAIN sgd (no momentum, run_rnn.py:665)
     if optimizer == "adam":
         tx = optax.adam(lr)
     elif optimizer == "sgd":
-        tx = optax.sgd(lr, momentum=0.9)
+        tx = optax.sgd(lr, momentum=momentum)
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
     opt_state = tx.init(params)
+
+    # class-weighted cross entropy (run_rnn.py:667-669 weights the CE by
+    # [neg_weight, pos_weight]; "balanced" = sklearn's n/(k*n_c) rule)
+    if class_weight == "balanced":
+        counts = np.bincount(y_tr, minlength=n_classes).astype(np.float64)
+        cw = jnp.asarray(len(y_tr) / (n_classes * np.maximum(counts, 1)),
+                         dtype=jnp.float32)
+    elif class_weight is None:
+        cw = None
+    else:
+        raise ValueError(f"unknown class_weight {class_weight!r}")
 
     @jax.jit
     def train_step(params, opt_state, dropout_key, *args_y):
@@ -124,6 +148,9 @@ def train_model(
             else:
                 logits = model.apply(p, *args)
             loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            if cw is not None:
+                w = cw[y]
+                return jnp.sum(loss * w) / jnp.sum(w)
             return jnp.mean(loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

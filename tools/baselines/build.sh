@@ -20,6 +20,19 @@ SRC=/root/reference/results/baselines
 tar xzf "$SRC/gkmsvm-2.0.tar.gz"
 (cd gkmsvm && make -j4)
 
+# Protein build: gkmSVM-2.0 hardcodes MAX_ALPHABET_SIZE 4 (DNA) in
+# global.h; the reference's protein runs recompile with 24 and pass
+# -A protein.dictionary.txt (results/run_experiments.py:314-322,
+# global.h:26-27 documents exactly this switch).
+rm -rf gkmsvm-prot
+mkdir gkmsvm-prot
+tar xzf "$SRC/gkmsvm-2.0.tar.gz" -C gkmsvm-prot --strip-components=1
+sed -i 's|^#define MAX_ALPHABET_SIZE 4 .*|#define MAX_ALPHABET_SIZE 24 /*protein build; see global.h:27*/|' gkmsvm-prot/src/global.h
+sed -i 's|^#define NBITS 2 .*|#define NBITS 5 /*ceiling log2 MAX_ALPHABET_SIZE (protein build)*/|' gkmsvm-prot/src/global.h
+grep -q "MAX_ALPHABET_SIZE 24" gkmsvm-prot/src/global.h
+grep -q "NBITS 5" gkmsvm-prot/src/global.h
+(cd gkmsvm-prot && make -j4)
+
 unzip -qo "$SRC/lsgkm.zip"
 (cd lsgkm-master/src && make -j4)
 cp lsgkm-master/src/gkmtrain lsgkm-master/src/gkmpredict lsgkm-master/bin/

@@ -41,6 +41,37 @@ _onehot_windows_jit = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "k", "p_pad", "c_ti", "c_tj", "n", "interpret"),
+)
+def _pairs_full_device_jit(
+    x, *, g, k, p_pad, c_ti, c_tj, n, interpret=False
+):
+    """Whole device-resident exact kernel in ONE dispatch.
+
+    The banded loop exists for the *streaming host* path (each band's
+    bytes pull while later bands compute); a device-resident consumer
+    gains nothing from banding and pays ~12 eager dispatches plus an
+    eager transpose/concat/mirror epilogue for it — measured ~0.2 s of
+    the 1.56 s round-5 headline wall (the wall sat ABOVE the composite
+    MXU+VPU ceiling before this). One jit = one dispatch: the full-grid
+    Pallas call, the block relayout, and the triu+mirror all land in a
+    single XLA program.
+    """
+    from ..ops import pairs_pallas
+
+    blocks = pairs_pallas.pairs_kernel_blocks(
+        x, jnp.int32(0), g=g, k=k, p_pad=p_pad, c_ti=c_ti, c_tj=c_tj,
+        n_i_band=0, interpret=interpret,
+    )  # [n_i, n_j, c_ti, c_tj]
+    n_i, n_j, _, _ = blocks.shape
+    n_pad = n_i * c_ti
+    upper = blocks.transpose(0, 2, 1, 3).reshape(n_pad, n_j * c_tj)
+    full = jnp.triu(upper) + jnp.triu(upper, 1).T
+    return full[:n, :n]
+
+
 class PairsGkmEngine:
     """Exact-mode engine over the all-pairs binomial identity."""
 
@@ -191,33 +222,16 @@ class PairsGkmEngine:
             raise ValueError("device-resident exact is single-device")
         x = self._build_x()
         if self.backend == "pallas":
-            upper = self._pallas_upper_device(x)
+            full = _pairs_full_device_jit(
+                x, g=self.g, k=self.k, p_pad=self.p_pad,
+                c_ti=self.c_i, c_tj=self.c_j, n=self.n,
+            )
         else:
             upper = self._exact_xla_device(x)
-        full = jnp.triu(upper) + jnp.triu(upper, 1).T
-        return DeviceCounts(full[: self.n, : self.n])
-
-    def _pallas_upper_device(self, x, interpret: bool = False) -> jnp.ndarray:
-        """Block-upper triangle assembled on device (banded kernel calls,
-        same launches as ``_exact_pallas`` minus the byte-plane pulls)."""
-        from ..ops import pairs_pallas
-
-        n_i = self.n_pad // self.c_i
-        band = max(1, -(-n_i // 12))
-        kwargs = dict(
-            g=self.g, k=self.k, p_pad=self.p_pad,
-            c_ti=self.c_i, c_tj=self.c_j, interpret=interpret,
-        )
-        rows = []
-        for i0 in range(0, n_i, band):
-            nb = min(band, n_i - i0)
-            blocks = pairs_pallas.pairs_kernel_blocks(
-                x, jnp.int32(i0), n_i_band=nb, **kwargs
-            )
-            rows.append(
-                blocks.transpose(0, 2, 1, 3).reshape(nb * self.c_i, self.n_pad)
-            )
-        return jnp.concatenate(rows, axis=0)
+            full = (jnp.triu(upper) + jnp.triu(upper, 1).T)[
+                : self.n, : self.n
+            ]
+        return DeviceCounts(full)
 
     # streaming threshold: matrices under this skip the byte-plane tile
     # machinery (transfer isn't their bottleneck; fewer compilations) —

@@ -92,6 +92,28 @@ def test_pallas_kernel_interpret_matches_oracle(rng):
     np.testing.assert_array_equal(K_o, K_p)
 
 
+def test_pairs_full_device_single_dispatch_matches_oracle(rng):
+    """The fused single-dispatch device-resident path (one jit: full-grid
+    Pallas call + block relayout + triu/mirror, pairs_engine.
+    _pairs_full_device_jit) must equal the oracle bit for bit."""
+    from fastsk_tpu.kernel.config import KernelConfig
+    from fastsk_tpu.kernel.pairs_engine import _pairs_full_device_jit
+
+    X = random_ragged_seqs(rng, 11, 9, 18, alphabet=4)
+    K_o = oracle.exact_counts(X, 6, 3)
+    eng = PairsGkmEngine(
+        encode_sequences(X), 6, 3, KernelConfig(pairs_backend="pallas")
+    )
+    x = eng._build_x()
+    full = np.asarray(
+        _pairs_full_device_jit(
+            x, g=6, k=3, p_pad=eng.p_pad, c_ti=eng.c_i, c_tj=eng.c_j,
+            n=eng.n, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(K_o, full)
+
+
 def test_pallas_streaming_transfer_matches_oracle(rng):
     """The banded byte-plane streaming path (forced via _small_bytes=0)
     must equal the oracle bit for bit — covers the per-band tile lists,

@@ -226,11 +226,19 @@ def run_checkpoint(n, g, m):
     assert interrupted and os.path.exists(ck), "interrupt did not checkpoint"
     del fsk1
 
+    def counts_block(fsk):
+        # with checkpoint_path set the engine runs the host-accumulating
+        # (checkpointable) path — api.py:160-168 — so the exact integers
+        # live in _counts (int64 host), not _counts_dev
+        if fsk._counts_dev is not None:
+            return np.asarray(fsk._counts_dev.lo[:64, :256])
+        return np.asarray(fsk._counts[:64, :256])
+
     t0 = time.perf_counter()
     fsk2 = mk()
     fsk2.compute_kernel(xtr, xte, ytr, yte)
     t_resume = time.perf_counter() - t0
-    resumed_block = np.asarray(fsk2._counts_dev.lo[:64, :256])
+    resumed_block = counts_block(fsk2)
     del fsk2
     if os.path.exists(ck):
         os.remove(ck)
@@ -239,7 +247,7 @@ def run_checkpoint(n, g, m):
     fsk3 = mk()
     fsk3.compute_kernel(xtr, xte, ytr, yte)
     t_fresh = time.perf_counter() - t0
-    fresh_block = np.asarray(fsk3._counts_dev.lo[:64, :256])
+    fresh_block = counts_block(fsk3)
     identical = bool(np.array_equal(resumed_block, fresh_block))
     out = dict(
         n=n, g=g, m=m, thetas=48, interrupted_after_batches=3,

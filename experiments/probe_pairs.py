@@ -122,6 +122,12 @@ def main():
         "--variants", default="noop,matmul,skeleton,current,int32"
     )
     ap.add_argument("--csv", default="")
+    ap.add_argument("--dcap-mb", type=int, default=5,
+                    help="D-tile VMEM cap in MB (chunking knob)")
+    ap.add_argument("--ci", type=int, default=0,
+                    help="override the engine's c_i (i-tile sequences); "
+                         "must divide c_j — used to measure the grid-"
+                         "overhead-vs-tile-size tradeoff")
     args = ap.parse_args()
 
     import jax
@@ -142,6 +148,9 @@ def main():
     Xte, _ = reader.read_data(f"{DATA}/{args.dataset}.test.fasta")
     enc = encode_sequences(Xtr, Xte)
     eng = PairsGkmEngine(enc, args.g, args.m, KernelConfig())
+    if args.ci:
+        assert eng.c_j % args.ci == 0 and eng.n_pad % args.ci == 0
+        eng.c_i = args.ci
     g, k = eng.g, eng.k
     log(
         f"{args.dataset}: n_pad={eng.n_pad} p_pad={eng.p_pad} "
@@ -155,10 +164,11 @@ def main():
     n_i = n_rows // ti
     n_j = n_rows // tj
     n_chunks = 1
-    while ti * (tj // n_chunks) * 4 > 5 * 2**20:
+    while ti * (tj // n_chunks) * 4 > args.dcap_mb * 2**20:
         n_chunks *= 2
     while tj % n_chunks:
         n_chunks //= 2
+    log(f"n_chunks={n_chunks} chunk={tj//n_chunks}")
     band = max(1, -(-n_i // 12))
 
     def run_variant(mode):

@@ -129,13 +129,42 @@ class PairsGkmEngine:
         self.backend = backend
 
         if backend == "pallas":
-            # i tiles ~768 window rows; j spans 128 sequences so the output
-            # block is lane-aligned (the kernel chunks D internally).
-            # c_i must divide c_j so both strip grids tile n_pad.
-            c_i = max(1, 768 // self.p_pad)
+            # i tiles target ~6144 window rows; j spans 128 sequences so
+            # the output block is lane-aligned (the kernel chunks D
+            # internally). c_i must divide c_j so both strip grids tile
+            # n_pad. Tile-size rationale (measured, v5e headline,
+            # experiments/probe_pairs.py --ci): the Mosaic grid step
+            # costs ~4.5 us, so the old 768-row tiles paid 0.47 s of
+            # pure grid overhead (noop variant) on a 104k-step grid;
+            # 6144-row tiles cut the grid 8x (noop 0.09 s) at equal MXU
+            # efficiency — headline 1.55 -> 1.36 s. Larger tiles blow
+            # the ~16 MB scoped VMEM (c_i=128 at p_pad=192 OOMs), hence
+            # the budget loop below.
+            c_i = max(1, 6144 // self.p_pad)
             c_i = 1 << (c_i.bit_length() - 1)  # floor to a power of two
             self.c_i = min(c_i, 128)
             self.c_j = 128
+            # shrink c_i until the kernel's VMEM residents fit the 16 MB
+            # scoped budget: D chunk tile + s1 scratch + operand tiles.
+            # The 15.5 MB bound is calibrated to the measured boundary
+            # (c_i=32 at p_pad=192/F=80 models 15.0 MB and compiles;
+            # c_i=64 models 28 MB and OOMs at 17.7 MB actual).
+            f_width = self.g * self.alpha
+            from ..ops.pairs_pallas import d_chunk
+
+            while self.c_i > 1:
+                ti = self.c_i * self.p_pad
+                tj = self.c_j * self.p_pad
+                chunk = d_chunk(ti, tj)
+                vmem = (
+                    ti * chunk * 4          # D tile (int32)
+                    + self.c_i * tj * 4     # s1 scratch
+                    + ti * f_width          # xi (int8)
+                    + tj * f_width          # xj
+                )
+                if vmem <= int(15.5 * 2**20):
+                    break
+                self.c_i //= 2
             self.n_pad = _next_multiple(self.n, self.c_j)
         else:
             # strip sizing: i strips ~2048 window rows, j strips 8x wider;

@@ -32,6 +32,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def d_chunk(ti: int, tj: int) -> int:
+    """Shared D-tile chunking rule for the pairs kernels.
+
+    The [ti, chunk] int32 match-count tile is capped at ~12 MB of VMEM
+    with a 384-lane chunk floor: narrower chunks starve the pipeline
+    (measured v5e headline, probe_pairs --ci 32: chunk 384 -> 1.36 s,
+    chunk 192 -> 1.88 s), wider ones trade VMEM for nothing (chunk 768
+    == chunk 384 within noise). The engine's c_i budget loop
+    (pairs_engine) uses the same rule so its VMEM estimate matches what
+    the kernel actually allocates.
+    """
+    n_chunks = 1
+    while (
+        ti * (tj // n_chunks) * 4 > 12 * 2**20
+        and (tj // n_chunks) >= 2 * 384
+    ):
+        n_chunks *= 2
+    while tj % n_chunks:
+        n_chunks //= 2
+    return tj // n_chunks
+
+
 def ffact_pairing(d: jnp.ndarray, k: int) -> jnp.ndarray:
     """Falling factorial d(d-1)...(d-k+1) with balanced factor pairing."""
     if k == 1:
@@ -229,12 +251,8 @@ def pairs_kernel_blocks(
     if i0 is None:
         i0 = jnp.int32(0)
 
-    # D chunk tile <= ~5 MB: chunk the q axis inside the kernel
-    n_chunks = 1
-    while ti * (tj // n_chunks) * 4 > 5 * 2**20:
-        n_chunks *= 2
-    while tj % n_chunks:
-        n_chunks //= 2
+    # chunk the q axis inside the kernel (shared rule, see d_chunk)
+    n_chunks = tj // d_chunk(ti, tj)
 
     kernel = functools.partial(
         _pairs_kernel,

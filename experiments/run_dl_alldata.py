@@ -45,13 +45,15 @@ def main():
     # reference-recipe knobs (run_rnn.py: plain SGD lr 0.01, class-
     # weighted CE, -em 32 --hidden 64) for the targeted LSTM refresh
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "adagrad"])
     ap.add_argument("--momentum", type=float, default=0.9,
                     help="sgd momentum; 0 = the reference's plain SGD")
     ap.add_argument("--class-weight", default=None,
                     choices=[None, "balanced"])
     ap.add_argument("--embed", type=int, default=None)
     ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--bidir", action="store_true",
+                    help="bidirectional LSTM (run_rnn.py --bidir)")
     ap.add_argument("--datasets", nargs="*", default=None)
     ap.add_argument("--force", action="store_true",
                     help="rerun selected rows even if present (e.g. a "
@@ -96,6 +98,7 @@ def main():
                     momentum=args.momentum or None,
                     class_weight=args.class_weight,
                     embedding_size=args.embed, hidden_size=args.hidden,
+                    bidir=args.bidir,
                 )
             except Exception as e:
                 log(f"{ds} {model}: ERROR {type(e).__name__}: {e}")
@@ -107,9 +110,12 @@ def main():
                 continue
             aucs = [r["auc"] for r in rows]
             accs = [r["acc"] for r in rows]
+            cfg = (f"{args.optimizer} lr={args.lr} bs={args.batch_size}"
+                   f"{' bidir' if args.bidir else ''}"
+                   f"{' cw=' + args.class_weight if args.class_weight else ''}")
             done[(ds, model)] = dict(
                 dataset=ds, type=reg["type"], model=model,
-                seeds=args.seeds, epochs=args.epochs,
+                seeds=args.seeds, epochs=args.epochs, config=cfg,
                 auc_mean=round(float(np.mean(aucs)), 6),
                 auc_max=round(float(np.max(aucs)), 6),
                 acc_mean=round(float(np.mean(accs)), 6),
@@ -121,7 +127,7 @@ def main():
             # write after every cell so interrupts keep progress
             os.makedirs(os.path.dirname(args.out), exist_ok=True)
             keys = ["dataset", "type", "model", "seeds", "epochs",
-                    "auc_mean", "auc_max", "acc_mean", "wall_s"]
+                    "auc_mean", "auc_max", "acc_mean", "wall_s", "config"]
             with open(args.out, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=keys)
                 w.writeheader()

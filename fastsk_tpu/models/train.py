@@ -68,6 +68,7 @@ def train_model(
     hidden_size: Optional[int] = None,
     momentum: Optional[float] = 0.9,
     class_weight: Optional[str] = None,
+    bidir: bool = False,
 ) -> TrainResult:
     reader = FastaUtility()
     Xtr, Ytr = reader.read_data(train_file)
@@ -105,6 +106,7 @@ def train_model(
             n_classes=n_classes,
             embedding_size=embedding_size or 64,
             hidden_size=hidden_size or 128,
+            bidir=bidir,
         )
 
         def inputs(toks, lengths):
@@ -121,6 +123,8 @@ def train_model(
         tx = optax.adam(lr)
     elif optimizer == "sgd":
         tx = optax.sgd(lr, momentum=momentum)
+    elif optimizer == "adagrad":
+        tx = optax.adagrad(lr)  # run_rnn.py:660-661
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
     opt_state = tx.init(params)
@@ -170,6 +174,50 @@ def train_model(
     t0 = time.time()
     # pad the train set so every batch has the same static shape
     n_tr = len(y_tr)
+    if batch_size == 1 and model_kind == "lstm":
+        # the reference's ACTUAL LSTM regime (run_rnn.py:674-685): one
+        # uniformly-sampled sequence per optimizer step, plain SGD —
+        # the sampling noise is the only regularizer the model has.
+        # A Python loop of B=1 dispatches is latency-bound on a remote
+        # TPU, so the whole run is one lax.scan over the sampled index
+        # sequence (epochs * n_tr steps), entirely on device.
+        steps = epochs * n_tr
+        idxs = jnp.asarray(rng.integers(0, n_tr, size=steps), jnp.int32)
+        toks_d = jnp.asarray(toks_tr)
+        len_d = jnp.asarray(len_tr)
+        y_d = jnp.asarray(y_tr)
+
+        def scan_step(carry, idx):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                logits = model.apply(
+                    p, toks_d[idx][None], len_d[idx][None]
+                )
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y_d[idx][None]
+                )
+                if cw is not None:
+                    loss = loss * cw[y_d[idx]]
+                return jnp.mean(loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            jax.jit(scan_step), (params, opt_state), idxs
+        )
+        losses = np.asarray(losses)
+        history = [
+            {"epoch": e, "loss": float(losses[e * n_tr:(e + 1) * n_tr].mean())}
+            for e in range(epochs)
+        ]
+        train_time = time.time() - t0
+        return _evaluate(
+            model_kind, model, params, inputs, predict, toks_te, len_te,
+            y_te, n_classes, 64, train_time, history,
+        )
     for epoch in range(epochs):
         losses = []
         for idx in _batches(rng, n_tr, batch_size):
@@ -183,7 +231,16 @@ def train_model(
             losses.append(float(loss))
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
     train_time = time.time() - t0
+    return _evaluate(
+        model_kind, model, params, inputs, predict, toks_te, len_te,
+        y_te, n_classes, batch_size, train_time, history,
+    )
 
+
+def _evaluate(
+    model_kind, model, params, inputs, predict, toks_te, len_te, y_te,
+    n_classes, batch_size, train_time, history,
+) -> TrainResult:
     probs = []
     for i in range(0, len(y_te), batch_size):
         sl = slice(i, min(i + batch_size, len(y_te)))

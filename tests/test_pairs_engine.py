@@ -161,3 +161,30 @@ def test_pallas_int8_band_matches_oracle(rng):
     upper = np.triu(full)
     K = upper + np.triu(full, 1).T
     np.testing.assert_array_equal(K_o, K)
+
+
+def test_d_chunk_rule_invariants():
+    """The shared D-chunk rule (pairs_pallas.d_chunk) must always return
+    a divisor of tj, keep the D tile under ~12 MB whenever a >=384-lane
+    chunk can achieve it, and never go below the 384-lane floor unless
+    tj itself is smaller."""
+    from fastsk_tpu.ops.pairs_pallas import d_chunk
+
+    for p_pad in (8, 32, 96, 192, 256):
+        for c_i in (1, 4, 16, 32):
+            for c_j in (32, 128):
+                ti, tj = c_i * p_pad, c_j * p_pad
+                chunk = d_chunk(ti, tj)
+                assert tj % chunk == 0, (ti, tj, chunk)
+                if chunk > 384:
+                    # could not shrink further only if halving would
+                    # cross the floor or stop dividing tj
+                    assert (
+                        ti * chunk * 4 <= 12 * 2**20
+                        or chunk < 2 * 384
+                        or tj % (tj // chunk * 2) != 0
+                    ), (ti, tj, chunk)
+                if tj >= 384:
+                    assert chunk >= 384 or ti * 2 * 384 * 4 > 12 * 2**20, (
+                        ti, tj, chunk,
+                    )
